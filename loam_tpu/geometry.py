@@ -1,0 +1,267 @@
+"""SE(3) / geometric primitives for loam-tpu, as batched JAX operations.
+
+Functional analogue of the reference's geometry module
+(``loam/include/loam/geometry.h``, ``loam/src/geometry.cpp``): ``Pose3``
+(quaternion + translation), line/plane fitting, and point-to-line /
+point-to-plane distances — all shaped for ``vmap``/``jit``: every function
+accepts arbitrary leading batch dimensions.
+
+Conventions:
+  * Quaternions are ``(..., 4)`` arrays in ``[w, x, y, z]`` order (Hamilton,
+    matching Eigen's ``Quaterniond(w, x, y, z)`` constructor semantics).
+  * A pose acts on points by ``p' = R p + t`` (reference ``geometry.cpp:21``).
+  * Lines are represented by two points ``a``/``b`` on the line (reference
+    ``geometry.h:66-74``); planes by unit normal ``n`` and offset ``d`` with
+    ``n . p - d = 0`` (reference ``geometry.h:80-88``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Quaternion ops  (wxyz, Hamilton convention)
+# ---------------------------------------------------------------------------
+
+def quat_identity(dtype=jnp.float32, batch_shape: Tuple[int, ...] = ()) -> jax.Array:
+    q = jnp.zeros(batch_shape + (4,), dtype=dtype)
+    return q.at[..., 0].set(1.0)
+
+
+def quat_multiply(q1: jax.Array, q2: jax.Array) -> jax.Array:
+    """Hamilton product ``q1 * q2`` on wxyz quaternions."""
+    w1, x1, y1, z1 = q1[..., 0], q1[..., 1], q1[..., 2], q1[..., 3]
+    w2, x2, y2, z2 = q2[..., 0], q2[..., 1], q2[..., 2], q2[..., 3]
+    return jnp.stack(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ],
+        axis=-1,
+    )
+
+
+def quat_conjugate(q: jax.Array) -> jax.Array:
+    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+
+
+def quat_normalize(q: jax.Array) -> jax.Array:
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def quat_rotate(q: jax.Array, v: jax.Array) -> jax.Array:
+    """Rotate vector(s) ``v`` (..., 3) by unit quaternion(s) ``q`` (..., 4).
+
+    Uses the 2-cross-product expansion (no matmul needed; VPU-friendly):
+      v' = v + 2 w (u x v) + 2 u x (u x v),  u = q.xyz
+    """
+    u = q[..., 1:]
+    w = q[..., :1]
+    uv = jnp.cross(u, v)
+    return v + 2.0 * (w * uv + jnp.cross(u, uv))
+
+
+def quat_to_matrix(q: jax.Array) -> jax.Array:
+    """Unit quaternion (..., 4) -> rotation matrix (..., 3, 3)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    m = jnp.stack(
+        [
+            1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+            2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+            2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
+        ],
+        axis=-1,
+    )
+    return m.reshape(m.shape[:-1] + (3, 3))
+
+
+def quat_from_axis_angle(axis: jax.Array, angle: jax.Array) -> jax.Array:
+    """Unit ``axis`` (..., 3) and ``angle`` (...) -> quaternion (..., 4)."""
+    half = 0.5 * jnp.asarray(angle)
+    s = jnp.sin(half)
+    return jnp.concatenate(
+        [jnp.cos(half)[..., None], s[..., None] * axis], axis=-1
+    )
+
+
+def quat_exp(rotvec: jax.Array) -> jax.Array:
+    """so(3) exponential: rotation vector (..., 3) -> unit quaternion (..., 4).
+
+    Numerically stable near zero via the sinc expansion.
+    """
+    theta_sq = jnp.sum(rotvec * rotvec, axis=-1, keepdims=True)
+    theta = jnp.sqrt(theta_sq)
+    half = 0.5 * theta
+    small = theta_sq < 1e-12
+    # sin(theta/2)/theta with Taylor fallback: 1/2 - theta^2/48
+    k = jnp.where(small, 0.5 - theta_sq / 48.0, jnp.sin(half) / jnp.where(small, 1.0, theta))
+    w = jnp.where(small, 1.0 - theta_sq / 8.0, jnp.cos(half))
+    return jnp.concatenate([w, k * rotvec], axis=-1)
+
+
+def quat_log(q: jax.Array) -> jax.Array:
+    """Unit quaternion (..., 4) -> rotation vector (..., 3)."""
+    q = jnp.where(q[..., :1] < 0, -q, q)  # take shortest arc
+    u = q[..., 1:]
+    un = jnp.linalg.norm(u, axis=-1, keepdims=True)
+    w = jnp.clip(q[..., :1], -1.0, 1.0)
+    angle = 2.0 * jnp.arctan2(un, w)
+    small = un < 1e-9
+    scale = jnp.where(small, 2.0 / jnp.where(w == 0, 1.0, w), angle / jnp.where(small, 1.0, un))
+    return scale * u
+
+
+def quat_angular_distance(q1: jax.Array, q2: jax.Array) -> jax.Array:
+    """Angle of q1^{-1} q2 — matches Eigen's ``angularDistance``."""
+    d = quat_multiply(quat_conjugate(q1), q2)
+    un = jnp.linalg.norm(d[..., 1:], axis=-1)
+    return 2.0 * jnp.arctan2(un, jnp.abs(d[..., 0]))
+
+
+# ---------------------------------------------------------------------------
+# Pose3 (pytree)
+# ---------------------------------------------------------------------------
+
+class Pose3(NamedTuple):
+    """SE(3) pose as a pytree: quaternion (..., 4) wxyz + translation (..., 3).
+
+    Mirrors the reference ``Pose3d`` (``geometry.h:27-50``).
+    """
+
+    rotation: jax.Array
+    translation: jax.Array
+
+    @staticmethod
+    def identity(dtype=jnp.float32, batch_shape: Tuple[int, ...] = ()) -> "Pose3":
+        return Pose3(
+            quat_identity(dtype, batch_shape),
+            jnp.zeros(batch_shape + (3,), dtype=dtype),
+        )
+
+    def inverse(self) -> "Pose3":
+        """Reference ``geometry.cpp:10-13``."""
+        inv_rot = quat_conjugate(self.rotation)
+        return Pose3(inv_rot, quat_rotate(inv_rot, -self.translation))
+
+    def compose(self, other: "Pose3") -> "Pose3":
+        """``self ∘ other`` — reference ``geometry.cpp:16-18``."""
+        return Pose3(
+            quat_multiply(self.rotation, other.rotation),
+            self.translation + quat_rotate(self.rotation, other.translation),
+        )
+
+    def act(self, p: jax.Array) -> jax.Array:
+        """Apply the pose to point(s): ``R p + t`` (reference ``geometry.cpp:21``).
+
+        Broadcasts over any leading point batch dims beyond the pose batch.
+        """
+        return quat_rotate(self.rotation, p) + self.translation
+
+    def matrix(self) -> jax.Array:
+        """4x4 homogeneous matrix (reference ``geometry.cpp:24-29``)."""
+        batch = self.translation.shape[:-1]
+        m = jnp.zeros(batch + (4, 4), dtype=self.translation.dtype)
+        m = m.at[..., :3, :3].set(quat_to_matrix(self.rotation))
+        m = m.at[..., :3, 3].set(self.translation)
+        m = m.at[..., 3, 3].set(1.0)
+        return m
+
+    def normalize(self) -> "Pose3":
+        return Pose3(quat_normalize(self.rotation), self.translation)
+
+
+def pose_from_rotvec(rotvec: jax.Array, translation: jax.Array) -> Pose3:
+    return Pose3(quat_exp(rotvec), translation)
+
+
+# ---------------------------------------------------------------------------
+# Lines and planes (batched, masked fitting)
+# ---------------------------------------------------------------------------
+
+def fit_line(points: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """PCA line fit over masked points (reference ``geometry.cpp:42-59``).
+
+    Args:
+      points: (..., K, 3) candidate points (invalid rows arbitrary).
+      mask:   (..., K) boolean validity of each row (>= 2 true rows assumed
+              where the result is consumed; callers guard on counts).
+
+    Returns:
+      (a, b, condition_number): two points on the line, ``center ± 0.1 * dir``
+      where ``dir`` is the principal eigenvector, and the co-linearity
+      condition number.
+
+      NOTE (reference quirk §2.3(1)): ``fitLine`` in the reference computes
+      ``eig(2)/eig(0)`` but never assigns it, so its returned condition
+      number is always ``DBL_MAX`` and the registration guard never rejects.
+      We return the *actually computed* ratio here; the registration layer
+      chooses whether to honor it (default: no, matching the reference's
+      effective behavior).
+    """
+    dtype = points.dtype
+    m = mask.astype(dtype)[..., None]  # (..., K, 1)
+    count = jnp.maximum(jnp.sum(m, axis=-2), 1.0)  # (..., 1)
+    center = jnp.sum(points * m, axis=-2) / count  # (..., 3)
+    centered = (points - center[..., None, :]) * m
+    cov = jnp.einsum("...ki,...kj->...ij", centered, centered)
+    # eigh returns ascending eigenvalues; principal direction = last column.
+    eigvals, eigvecs = jnp.linalg.eigh(cov)
+    direction = eigvecs[..., :, 2]
+    a = center + 0.1 * direction
+    b = center - 0.1 * direction
+    cond = eigvals[..., 2] / jnp.where(
+        jnp.abs(eigvals[..., 0]) < 1e-12, jnp.asarray(1e-12, dtype), eigvals[..., 0]
+    )
+    return a, b, cond
+
+
+def fit_plane(points: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Least-squares plane fit over masked points (reference ``geometry.cpp:62-73``).
+
+    Solves ``points @ abc = 1`` in the least-squares sense (via normal
+    equations — the per-fit systems are 3x3, batched), then converts to
+    ``(normal, d)`` with ``normal = abc/|abc|``, ``d = 1/|abc|``.
+
+    Returns:
+      (normal (...,3), d (...), avg_dist (...)) where ``avg_dist`` is the
+      SIGNED mean residual ``mean(points . n - d)`` — matching the reference's
+      ``.mean()`` of signed residuals (``geometry.cpp:71``, quirk §2.3(2)).
+    """
+    dtype = points.dtype
+    m = mask.astype(dtype)[..., None]
+    a_masked = points * m  # zeroed invalid rows contribute nothing
+    ata = jnp.einsum("...ki,...kj->...ij", a_masked, a_masked)
+    atb = jnp.sum(a_masked, axis=-2)  # A^T @ 1 over valid rows
+    # Tiny Tikhonov term keeps degenerate (collinear) neighborhoods finite;
+    # such fits are rejected downstream by count/avg-dist guards anyway.
+    eye = jnp.eye(3, dtype=dtype) * 1e-12
+    abc = jnp.linalg.solve(ata + eye, atb[..., None])[..., 0]
+    norm = jnp.linalg.norm(abc, axis=-1)
+    safe_norm = jnp.where(norm < 1e-30, 1.0, norm)
+    normal = abc / safe_norm[..., None]
+    d = 1.0 / safe_norm
+    count = jnp.maximum(jnp.sum(mask.astype(dtype), axis=-1), 1.0)
+    resid = (jnp.einsum("...ki,...i->...k", points, normal) - d[..., None]) * mask.astype(dtype)
+    avg_dist = jnp.sum(resid, axis=-1) / count
+    return normal, d, avg_dist
+
+
+def point_to_line_distance(point: jax.Array, line_a: jax.Array, line_b: jax.Array) -> jax.Array:
+    """‖(p−a)×(p−b)‖ / ‖a−b‖ (reference ``geometry-inl.h:21-27``)."""
+    num = jnp.linalg.norm(jnp.cross(point - line_a, point - line_b), axis=-1)
+    den = jnp.linalg.norm(line_a - line_b, axis=-1)
+    return num / den
+
+
+def point_to_plane_distance(point: jax.Array, normal: jax.Array, d: jax.Array) -> jax.Array:
+    """|n·p − d| (reference ``geometry-inl.h:30-33``)."""
+    return jnp.abs(jnp.sum(point * normal, axis=-1) - d)
