@@ -37,6 +37,13 @@ from .features import (
     extract_features,
     feature_set_from_points,
 )
+from .neighbors import knn
+from .registration import (
+    IterationInfo,
+    RegistrationDetail,
+    register_features,
+    register_features_batch,
+)
 
 __version__ = "0.1.0"
 
@@ -47,6 +54,11 @@ __all__ = [
     "RegistrationParams",
     "TerminationType",
     "FeatureSet",
+    "IterationInfo",
+    "RegistrationDetail",
+    "knn",
+    "register_features",
+    "register_features_batch",
     "compute_curvature",
     "compute_valid_points",
     "extract_features",

@@ -1,0 +1,202 @@
+"""Registration tests: synthetic-scene round trips.
+
+Mirrors the reference's test strategy (``tests/test_registration.cpp``):
+idealized dense feature sets (3 planes + 2 vertical edges) are transformed by
+a known pose; ``register_features`` must recover its inverse to the
+reference's published tolerances (1e-4 rad rotation, 1e-3 m translation).
+Includes the composition-direction regression (``test_registration.cpp:149-175``)
+that pins the left-compose update scheme with ``max_iterations=1``.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from loam_tpu import (
+    Pose3,
+    RegistrationParams,
+    TerminationType,
+    feature_set_from_points,
+    register_features,
+    register_features_batch,
+)
+from loam_tpu.geometry import quat_from_axis_angle, quat_rotate
+
+
+def simple_scene(step=0.1):
+    """Dense idealized features, same layout as the reference's
+    ``constructSimpleScene`` (``test_registration.cpp:8-56``): planes at
+    x=-3 (yz), y=5 (xz), z=-1 (xy patch) and two vertical edges.
+
+    The reference uses 0.05 spacing; the default here is 0.1 (4x fewer
+    points — same geometry, much faster on the CPU test backend). One test
+    runs the full reference density.
+    """
+    planar = []
+    for y in np.arange(3, 6, step):
+        for z in np.arange(-1, 2, step):
+            planar.append((-3.0, y, z))
+    for x in np.arange(-1, 2, step):
+        for z in np.arange(-1, 2, step):
+            planar.append((x, 5.0, z))
+    for x in np.arange(1, 3, step):
+        for y in np.arange(1, 3, step):
+            planar.append((x, y, -1.0))
+    edge = []
+    for z in np.arange(-1, 3, step / 2):
+        edge.append((-1.0, 4.0, z))
+    for z in np.arange(-1, 3, step / 2):
+        edge.append((3.0, 2.0, z))
+    return np.array(edge), np.array(planar)
+
+
+def transform_features(pts, pose: Pose3):
+    return np.asarray(pose.act(jnp.asarray(pts)))
+
+
+def _check_roundtrip(source_T_target: Pose3, rot_tol=1e-4, trans_tol=1e-3, **kw):
+    edge, planar = simple_scene()
+    target = feature_set_from_points(edge, planar, dtype=jnp.float64)
+    source = feature_set_from_points(
+        transform_features(edge, source_T_target),
+        transform_features(planar, source_T_target),
+        dtype=jnp.float64,
+    )
+    params = kw.pop("params", RegistrationParams())
+    init = kw.pop("init", None)
+    est, detail = register_features(source, target, init, params)
+    # error: source_T_target o target_T_source ~ identity (as in the
+    # reference tests: err_rot = src_T_tgt.rot * tgt_T_src.rot)
+    err_q = np.asarray(_compose_quat(source_T_target.rotation, est.rotation))
+    err_rot_angle = 2 * np.arctan2(np.linalg.norm(err_q[1:4]), abs(err_q[0]))
+    err_trans = np.asarray(
+        quat_rotate(source_T_target.rotation, est.translation)
+        + source_T_target.translation
+    )
+    assert err_rot_angle < rot_tol, f"rotation error {err_rot_angle}"
+    np.testing.assert_allclose(err_trans, 0.0, atol=trans_tol)
+    return est, detail
+
+
+def _compose_quat(q1, q2):
+    from loam_tpu.geometry import quat_multiply
+
+    return quat_multiply(jnp.asarray(q1), jnp.asarray(q2))
+
+
+_REF_QUAT = jnp.asarray(
+    [0.9993921140970299, 0.014692022378442412, 0.030140550562090015, 0.009544316157523478]
+)
+
+
+def test_simple_case():
+    # test_registration.cpp:70-89
+    _check_roundtrip(
+        Pose3(_REF_QUAT, jnp.asarray([0.01, 0.03, -0.01])), rot_tol=1e-4, trans_tol=1e-4
+    )
+
+
+def test_simple_large_translation():
+    # test_registration.cpp:91-108
+    _check_roundtrip(Pose3(_REF_QUAT, jnp.asarray([-0.1, 0.1, 0.0])))
+
+
+def test_simple_even_larger_translation():
+    # test_registration.cpp:110-128
+    _check_roundtrip(Pose3(_REF_QUAT, jnp.asarray([-0.3, 0.2, 0.1])))
+
+
+def test_simple_large_rotation():
+    # test_registration.cpp:130-147
+    axis = np.array([1.0, 3.0, 1.0])
+    axis /= np.linalg.norm(axis)
+    q = quat_from_axis_angle(jnp.asarray(axis), 0.2)
+    _check_roundtrip(Pose3(q, jnp.asarray([-0.01, 0.02, 0.1])))
+
+
+def test_composition_direction():
+    # test_registration.cpp:149-175: one outer iteration, deliberately wrong
+    # init; pins est = delta o est (left-compose).
+    z = jnp.asarray([0.0, 0.0, 1.0])
+    src_T_tgt = Pose3(quat_from_axis_angle(z, 0.1), jnp.zeros(3))
+    init = Pose3(quat_from_axis_angle(z, -0.1), jnp.asarray([0.1, 0.0, 0.0]))
+    params = RegistrationParams(max_iterations=1)
+    _check_roundtrip(src_T_tgt, params=params, init=init)
+
+
+def test_self_registration_identity():
+    # test_registration.cpp:177-199 (plane-only self-registration)
+    _, planar = simple_scene()
+    target = feature_set_from_points(np.zeros((0, 3)), planar, dtype=jnp.float64)
+    est, detail = register_features(target, target)
+    angle = 2 * np.arctan2(
+        np.linalg.norm(np.asarray(est.rotation)[1:]), abs(np.asarray(est.rotation)[0])
+    )
+    assert angle < 1e-4
+    np.testing.assert_allclose(np.asarray(est.translation), 0.0, atol=1e-3)
+
+
+def test_insufficient_associations():
+    # a tiny source set (< min_associations) must terminate without moving
+    # the estimate (SURVEY §2.3(9))
+    edge, planar = simple_scene()
+    target = feature_set_from_points(edge, planar, dtype=jnp.float64)
+    source = feature_set_from_points(edge[:5], planar[:5], dtype=jnp.float64)
+    init = Pose3(
+        jnp.asarray([1.0, 0.0, 0.0, 0.0]), jnp.asarray([0.5, -0.2, 0.3])
+    )
+    est, detail = register_features(source, target, init)
+    assert int(detail.termination) == TerminationType.INSUFFICIENT_ASSOCIATIONS
+    assert int(detail.num_iterations) == 0
+    np.testing.assert_allclose(
+        np.asarray(est.translation), np.asarray(init.translation), atol=1e-12
+    )
+
+
+def test_detail_contents():
+    est, detail = _check_roundtrip(Pose3(_REF_QUAT, jnp.asarray([0.01, 0.03, -0.01])))
+    n = int(detail.num_iterations)
+    assert n >= 1
+    assert int(detail.termination) == TerminationType.CONVERGED
+    info = detail.iteration_info
+    # first iteration entered with the identity init
+    np.testing.assert_allclose(
+        np.asarray(info.target_T_source_init.rotation[0]), [1, 0, 0, 0], atol=1e-12
+    )
+    # association counts populated for executed iterations
+    counts = np.asarray(info.edge_count) + np.asarray(info.plane_count)
+    assert (counts[:n] >= 100).all()
+    # matches recorded: some valid edge associations in the first iteration
+    em = np.asarray(info.edge_match[0])
+    assert (em >= 0).sum() == int(np.asarray(info.edge_count)[0])
+
+
+def test_batched_matches_single():
+    edge, planar = simple_scene()
+    target = feature_set_from_points(edge, planar, dtype=jnp.float64)
+    poses = [
+        Pose3(_REF_QUAT, jnp.asarray([0.01, 0.03, -0.01])),
+        Pose3(quat_from_axis_angle(jnp.asarray([0.0, 0.0, 1.0]), 0.05), jnp.asarray([-0.1, 0.05, 0.02])),
+    ]
+    sources = [
+        feature_set_from_points(
+            transform_features(edge, p), transform_features(planar, p), dtype=jnp.float64
+        )
+        for p in poses
+    ]
+    singles = [register_features(s, target)[0] for s in sources]
+
+    import jax
+
+    batch_src = jax.tree.map(lambda *xs: jnp.stack(xs), *sources)
+    batch_tgt = jax.tree.map(lambda x: jnp.stack([x, x]), target)
+    batch_init = Pose3.identity(jnp.float64, (2,))
+    batched, _ = register_features_batch(batch_src, batch_tgt, batch_init)
+    for i, single in enumerate(singles):
+        np.testing.assert_allclose(
+            np.asarray(batched.translation[i]), np.asarray(single.translation), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched.rotation[i]), np.asarray(single.rotation), atol=1e-9
+        )
