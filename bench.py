@@ -1,0 +1,79 @@
+"""Headline benchmark: end-to-end scan-to-scan odometry throughput, one chip.
+
+Workload matches the reference's published numbers (``README.md:31``,
+BASELINE.md): Ouster-64 geometry — 64 x 1024 = 65,536-point scans — full
+pipeline (feature extraction + ICF registration per consecutive pair).
+Reference baseline: ~16.5 ms/scan end-to-end single CPU core => ~60.6
+scans/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs:
+  LOAM_BENCH_FRAMES  (default 10)  frames per timed batch
+  LOAM_BENCH_REPS    (default 3)   timed repetitions
+  LOAM_BENCH_BACKEND (default "bruteforce") neighbor search backend
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from loam_tpu import LidarParams, odometry_offline
+    from loam_tpu.params import FeatureExtractionParams, RegistrationParams
+    from loam_tpu.io import render_trajectory
+
+    frames = int(os.environ.get("LOAM_BENCH_FRAMES", "10"))
+    reps = int(os.environ.get("LOAM_BENCH_REPS", "3"))
+    backend = os.environ.get("LOAM_BENCH_BACKEND", "bruteforce")
+
+    lidar = LidarParams(64, 1024, 0.5, 120.0)
+    feat_params = FeatureExtractionParams()
+    reg_params = RegistrationParams(search_backend=backend)
+
+    scans, _ = render_trajectory(
+        lidar,
+        frames,
+        step=np.array([0.08, 0.02, 0.0]),
+        yaw_rate=0.01,
+        noise=0.005,
+        seed=0,
+        dtype=np.float32,
+    )
+    scans = jnp.asarray(scans)
+
+    def run():
+        traj, details = odometry_offline(scans, lidar, feat_params, reg_params)
+        jax.block_until_ready(traj)
+        return traj
+
+    traj = run()  # compile + warmup
+    assert bool(jnp.isfinite(traj.translation).all()), "non-finite trajectory"
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run()
+    elapsed = time.perf_counter() - t0
+
+    scans_per_sec = frames * reps / elapsed
+    baseline = 1000.0 / 16.5  # reference: 3.5 ms extract + 13 ms register
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_odometry_throughput",
+                "value": round(scans_per_sec, 2),
+                "unit": "scans/s/chip (64x1024 Ouster-64 scans)",
+                "vs_baseline": round(scans_per_sec / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

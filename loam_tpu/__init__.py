@@ -37,7 +37,18 @@ from .features import (
     extract_features,
     feature_set_from_points,
 )
+from .map import VoxelMap, voxel_map_empty, voxel_map_insert
 from .neighbors import knn
+from .odometry import (
+    ScanToMapConfig,
+    ScanToMapState,
+    ScanToScanState,
+    odometry_offline,
+    scan_to_map_init,
+    scan_to_map_step,
+    scan_to_scan_init,
+    scan_to_scan_step,
+)
 from .registration import (
     IterationInfo,
     RegistrationDetail,
@@ -56,7 +67,18 @@ __all__ = [
     "FeatureSet",
     "IterationInfo",
     "RegistrationDetail",
+    "ScanToMapConfig",
+    "ScanToMapState",
+    "ScanToScanState",
+    "VoxelMap",
     "knn",
+    "odometry_offline",
+    "scan_to_map_init",
+    "scan_to_map_step",
+    "scan_to_scan_init",
+    "scan_to_scan_step",
+    "voxel_map_empty",
+    "voxel_map_insert",
     "register_features",
     "register_features_batch",
     "compute_curvature",

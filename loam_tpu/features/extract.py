@@ -75,6 +75,12 @@ def _greedy_pass(
 ) -> Tuple[jax.Array, jax.Array]:
     """Serial greedy pick over ordered candidates.
 
+    TPU note: every step uses only iota-compare/select/reduce vector ops —
+    no gather/scatter/dynamic-update primitives, which cost ~100 us each as
+    batched XLA ops and made a naive loop two orders of magnitude slower.
+    The loop is unrolled (``lax.scan`` unroll) to amortize per-iteration
+    control overhead.
+
     Args:
       mask: (P,) current validity mask (bool).
       candidates: (K,) within-line point indices in processing order, -1 pad.
@@ -83,35 +89,39 @@ def _greedy_pass(
 
     Returns: (new_mask, picks (max_feats+1,) int32 with -1 padding).
     """
-    K = candidates.shape[0]
     cap = max_feats + 1
+    P = mask.shape[0]
     picks0 = jnp.full((cap,), -1, dtype=jnp.int32)
-    width = 2 * nms_halfwidth - 1
-    zeros_w = jnp.zeros((width,), dtype=mask.dtype)
+    iot = jnp.arange(P, dtype=jnp.int32)
+    cap_iot = jnp.arange(cap, dtype=jnp.int32)
 
-    def body(t, state):
+    def body(state, idx):
         mask, count, picks = state
-        idx = candidates[t]
-        safe = jnp.maximum(idx, 0)
         # Processing stops exactly after the (max+1)-th accept: a candidate is
         # visited iff count_before <= max (break fires only when count > max).
-        ok = (idx >= 0) & (count <= max_feats) & mask[safe]
-        picks = picks.at[jnp.where(ok, count, cap)].set(idx, mode="drop")
-        suppressed = lax.dynamic_update_slice(mask, zeros_w, (safe - (nms_halfwidth - 1),))
-        mask = jnp.where(ok, suppressed, mask)
+        live = jnp.any((iot == idx) & mask)
+        ok = (idx >= 0) & (count <= max_feats) & live
+        picks = jnp.where((cap_iot == count) & ok, idx, picks)
+        mask = mask & ~(ok & (jnp.abs(iot - idx) <= nms_halfwidth - 1))
         count = count + ok.astype(jnp.int32)
-        return mask, count, picks
+        return (mask, count, picks), None
 
-    mask, _, picks = lax.fori_loop(0, K, body, (mask, jnp.int32(0), picks0))
+    (mask, _, picks), _ = lax.scan(
+        body, (mask, jnp.int32(0), picks0), candidates, unroll=8
+    )
     return mask, picks
 
 
 def _compact_ordered(flags: jax.Array, values: jax.Array, k: int) -> jax.Array:
     """Stable-compact ``values[flags]`` (order preserved) into a (k,) array,
-    -1 padded, dropping entries beyond k."""
-    dest = jnp.cumsum(flags.astype(jnp.int32)) - 1
-    out = jnp.full((k,), -1, dtype=values.dtype)
-    return out.at[jnp.where(flags, dest, k)].set(values, mode="drop")
+    -1 padded, dropping entries beyond k. Scatter-free: a one-hot
+    (K, k) selection matrix contracted on the MXU (indices stay exact in
+    f32: scan indices < 2^24)."""
+    dest = jnp.where(flags, jnp.cumsum(flags.astype(jnp.int32)) - 1, -1)
+    onehot = dest[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :]  # (K, k)
+    # values+1 so that empty output slots (column sums of 0) decode to -1
+    out = jnp.sum(jnp.where(onehot, values[:, None] + 1, 0), axis=0)
+    return out.astype(jnp.int32) - 1
 
 
 @functools.partial(jax.jit, static_argnames=("lidar", "params"))
@@ -165,14 +175,21 @@ def extract_features_given(
     edge_thresh = jnp.asarray(params.edge_feat_threshold, curv.dtype)
     planar_thresh = jnp.asarray(params.planar_feat_threshold, curv.dtype)
 
-    def line_fn(curv_l: jax.Array, valid_l: jax.Array):
+    # Sort ALL (line, sector) slices in one batched argsort, hoisted out of
+    # the sector scan (the sort does not depend on the evolving NMS mask).
+    c_all = jnp.where(slotv_all[None], curv[:, pos_all], inf)  # (L, S, s_max)
+    order = jnp.argsort(c_all, axis=-1, stable=True)  # ascending, ties by idx
+    spos_all = jnp.take_along_axis(
+        jnp.broadcast_to(pos_all[None], c_all.shape), order, axis=-1
+    )
+    sc_all = jnp.take_along_axis(c_all, order, axis=-1)
+    ssv_all = jnp.take_along_axis(
+        jnp.broadcast_to(slotv_all[None], c_all.shape), order, axis=-1
+    )
+
+    def line_fn(valid_l, spos_l, sc_l, ssv_l):
         def sector_body(mask, sector_inputs):
-            pos, slotv = sector_inputs  # (S_max,) int32 / bool
-            c = jnp.where(slotv, curv_l[pos], inf)
-            order = jnp.argsort(c, stable=True)  # ascending, ties by index
-            spos = pos[order]
-            sc = c[order]
-            ssv = slotv[order]
+            spos, sc, ssv = sector_inputs  # (S_max,) sorted slices
 
             # --- edge pass: descending curvature ------------------------------
             pre_e = ssv & (sc > edge_thresh) & mask[spos]
@@ -187,11 +204,11 @@ def extract_features_given(
             return mask, (edge_picks, planar_picks)
 
         _, (edge_picks, planar_picks) = lax.scan(
-            sector_body, valid_l, (pos_all, slotv_all)
+            sector_body, valid_l, (spos_l, sc_l, ssv_l)
         )
         return edge_picks, planar_picks  # (S, max_e+1), (S, max_p+1)
 
-    edge_picks, planar_picks = jax.vmap(line_fn)(curv, valid)  # (L, S, cap)
+    edge_picks, planar_picks = jax.vmap(line_fn)(valid, spos_all, sc_all, ssv_all)
 
     line_offsets = (jnp.arange(L, dtype=jnp.int32) * P)[:, None, None]
 

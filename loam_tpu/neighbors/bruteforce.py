@@ -14,6 +14,7 @@ masked out (post-hoc radius filter, strict ``<`` comparison). Invalid
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -38,6 +39,32 @@ class KnnResult(NamedTuple):
     mask: jax.Array
 
 
+def topk_min(d2: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact k-smallest along the last axis: (values, indices), ascending.
+
+    ``lax.top_k`` lowers to a (bitonic) sort on TPU — tens of ms for the
+    row widths used here. For small k, k unrolled min+argmin VPU reduction
+    passes are an order of magnitude faster and exactly reproduce top_k's
+    first-index tie-breaking (argmin returns the first minimum).
+    """
+    if k == 0 or d2.shape[-1] == 0:
+        shape = d2.shape[:-1] + (k,)
+        return (
+            jnp.full(shape, jnp.inf, d2.dtype),
+            jnp.zeros(shape, jnp.int32),
+        )
+    col = lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
+    inf = jnp.asarray(jnp.inf, d2.dtype)
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmin(d2, axis=-1)
+        v = jnp.take_along_axis(d2, i[..., None], axis=-1)[..., 0]
+        vals.append(v)
+        idxs.append(i.astype(jnp.int32))
+        d2 = jnp.where(col == i[..., None], inf, d2)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def _tile_knn(
     q_tile: jax.Array,
     targets: jax.Array,
@@ -47,17 +74,17 @@ def _tile_knn(
 ) -> KnnResult:
     """kNN of one query tile against all targets. ``t_sq_masked`` carries +inf
     in invalid target slots so they sort last and are masked out."""
-    # d^2 = |q|^2 + |t|^2 - 2 q.t   (cross term on the MXU)
-    cross = q_tile @ targets.T  # (C, M)
+    # d^2 = |q|^2 + |t|^2 - 2 q.t   (cross term on the MXU). HIGHEST: the
+    # TPU matmul default is bf16 inputs, which corrupts neighbor ordering.
+    cross = jnp.matmul(q_tile, targets.T, precision=lax.Precision.HIGHEST)  # (C, M)
     d2 = jnp.sum(q_tile * q_tile, axis=-1)[:, None] + t_sq_masked[None, :] - 2.0 * cross
     M = targets.shape[0]
     kk = min(k, M)  # fewer targets than k: result holds fewer entries (§2.3(7))
-    neg_d2, idx = lax.top_k(-d2, kk)  # ascending distance
+    d2k, idx = topk_min(d2, kk)
     if kk < k:
         pad = ((0, 0), (0, k - kk))
-        neg_d2 = jnp.pad(neg_d2, pad, constant_values=-jnp.inf)
+        d2k = jnp.pad(d2k, pad, constant_values=jnp.inf)
         idx = jnp.pad(idx, pad)
-    d2k = -neg_d2
     dist = jnp.sqrt(jnp.maximum(d2k, 0.0))
     valid = jnp.isfinite(d2k)
     if max_dist > 0:
@@ -65,7 +92,6 @@ def _tile_knn(
     return KnnResult(idx.astype(jnp.int32), jnp.where(valid, dist, jnp.inf), valid)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_dist", "tile"))
 def knn(
     queries: jax.Array,
     targets: jax.Array,
@@ -75,6 +101,10 @@ def knn(
     tile: int = 2048,
 ) -> KnnResult:
     """Exact k-nearest-neighbor search with reference radius semantics.
+
+    On a TPU backend with f32 data this dispatches to the fused Pallas
+    kernel (``loam_tpu.ops.knn_pallas``) — identical semantics, VMEM-resident
+    distance tiles. Set ``LOAM_DISABLE_PALLAS=1`` to force the XLA path.
 
     Args:
       queries: (Q, 3) query points (invalid queries simply yield ignorable
@@ -88,6 +118,28 @@ def knn(
 
     Returns: KnnResult with (Q, k) leaves.
     """
+    from ..ops.knn_pallas import knn_pallas, pallas_supported
+
+    if (
+        pallas_supported()
+        and queries.dtype == jnp.float32
+        and targets.shape[0] > 0
+        and os.environ.get("LOAM_DISABLE_PALLAS", "0") != "1"
+    ):
+        return knn_pallas(queries, targets, target_mask, k, max_dist)
+    return _knn_xla(queries, targets, target_mask, k, max_dist, tile)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_dist", "tile"))
+def _knn_xla(
+    queries: jax.Array,
+    targets: jax.Array,
+    target_mask: jax.Array,
+    k: int,
+    max_dist: float = 0.0,
+    tile: int = 2048,
+) -> KnnResult:
+    """Pure-XLA brute force (the CPU path and the Pallas correctness oracle)."""
     Q = queries.shape[0]
     dtype = queries.dtype
     t_sq = jnp.sum(targets * targets, axis=-1)

@@ -79,28 +79,22 @@ _OFFSETS = np.array(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_dist", "max_per_cell"))
-def knn_grid(
+def _tile_knn_grid(
     index: GridIndex,
     queries: jax.Array,
     k: int,
     max_dist: float,
-    max_per_cell: int = 32,
+    C: int,
 ) -> Tuple[KnnResult, jax.Array]:
-    """k nearest targets within ``max_dist`` of each query via the grid.
+    """Grid kNN for one query tile."""
+    from .bruteforce import topk_min
 
-    Requires ``max_dist > 0`` and ``cell_size >= max_dist`` (callers construct
-    the grid accordingly). Returns (KnnResult (Q, k), overflow) where
-    ``overflow`` counts (query, cell) lookups whose cell had more than
-    ``max_per_cell`` points — nonzero means possible (rare) missed neighbors.
-    """
-    if max_dist <= 0:
-        raise ValueError("knn_grid requires a positive search radius")
-    pts = index.points_sorted
     keys = index.keys_sorted
-    dtype = pts.dtype
-    M = pts.shape[0]
-    C = max_per_cell
+    dtype = index.points_sorted.dtype
+    M = keys.shape[0]
+    # coordinate-separated target columns: gathers of (Q, 27C) lane-tiled
+    # arrays instead of a (Q, 27C, 3) array whose last dim pads 3 -> 128.
+    px, py, pz = (index.points_sorted[:, i] for i in range(3))
 
     qc = _cell_coords(queries, index.origin, index.cell_size)  # (Q, 3)
     # (Q, 27) linear keys of the neighborhood. Clamping at grid borders can
@@ -120,15 +114,16 @@ def knn_grid(
     cand_valid = slots < jnp.minimum(count, C)[..., None]
     cand = jnp.minimum(cand, M - 1)
 
-    cand_flat = cand.reshape(cand.shape[0], 27 * C)
-    valid_flat = cand_valid.reshape(cand.shape[0], 27 * C)
-    cpts = pts[cand_flat]  # (Q, 27C, 3) gather
-    diff = cpts - queries[:, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
+    Q = queries.shape[0]
+    cand_flat = cand.reshape(Q, 27 * C)
+    valid_flat = cand_valid.reshape(Q, 27 * C)
+    dx = px[cand_flat] - queries[:, 0:1]
+    dy = py[cand_flat] - queries[:, 1:2]
+    dz = pz[cand_flat] - queries[:, 2:3]
+    d2 = dx * dx + dy * dy + dz * dz
     d2 = jnp.where(valid_flat, d2, jnp.asarray(jnp.inf, dtype))
 
-    neg, pos = lax.top_k(-d2, k)
-    d2k = -neg
+    d2k, pos = topk_min(d2, k)
     dist = jnp.sqrt(jnp.maximum(d2k, 0.0))
     valid = jnp.isfinite(d2k) & (dist < max_dist)
     sorted_idx = jnp.take_along_axis(cand_flat, pos, axis=1)
@@ -138,4 +133,47 @@ def knn_grid(
             orig_idx.astype(jnp.int32), jnp.where(valid, dist, jnp.inf), valid
         ),
         overflow,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "max_dist", "max_per_cell", "tile")
+)
+def knn_grid(
+    index: GridIndex,
+    queries: jax.Array,
+    k: int,
+    max_dist: float,
+    max_per_cell: int = 32,
+    tile: int = 4096,
+) -> Tuple[KnnResult, jax.Array]:
+    """k nearest targets within ``max_dist`` of each query via the grid.
+
+    Requires ``max_dist > 0`` and ``cell_size >= max_dist`` (callers construct
+    the grid accordingly). Queries are processed in ``tile``-sized chunks to
+    bound the (tile, 27 * max_per_cell) candidate buffers.
+
+    Returns (KnnResult (Q, k), overflow) where ``overflow`` counts
+    (query, cell) lookups whose cell had more than ``max_per_cell`` points —
+    nonzero means possible (rare) missed neighbors.
+    """
+    if max_dist <= 0:
+        raise ValueError("knn_grid requires a positive search radius")
+    Q = queries.shape[0]
+    C = max_per_cell
+    if Q <= tile:
+        return _tile_knn_grid(index, queries, k, max_dist, C)
+    n_tiles = -(-Q // tile)
+    padded = jnp.zeros((n_tiles * tile, 3), queries.dtype).at[:Q].set(queries)
+    res, overflow = lax.map(
+        lambda qt: _tile_knn_grid(index, qt, k, max_dist, C),
+        padded.reshape(n_tiles, tile, 3),
+    )
+    return (
+        KnnResult(
+            res.indices.reshape(n_tiles * tile, k)[:Q],
+            res.distances.reshape(n_tiles * tile, k)[:Q],
+            res.mask.reshape(n_tiles * tile, k)[:Q],
+        ),
+        jnp.sum(overflow),
     )

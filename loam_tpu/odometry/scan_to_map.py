@@ -1,0 +1,164 @@
+"""Scan-to-map odometry against local voxel maps.
+
+BASELINE config 3: registration targets are fixed-capacity voxel maps of
+accumulated edge/planar features (``loam_tpu.map``) instead of just the
+previous scan — the standard LOAM mapping refinement the reference leaves to
+user code. Uses the grid neighbor-search backend (map targets are much larger
+than a single scan's features), a constant-velocity motion prior, and
+distance/rotation keyframing for map insertion.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..features import FeatureSet, extract_features
+from ..geometry import Pose3, quat_multiply, quat_conjugate
+from ..map import VoxelMap, voxel_map_empty, voxel_map_insert
+from ..params import FeatureExtractionParams, LidarParams, RegistrationParams
+from ..registration import RegistrationDetail
+from ..registration.icf import _register
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanToMapConfig:
+    """Static configuration of the scan-to-map driver (hashable)."""
+
+    #: Voxel edge length for the edge-feature map (m).
+    edge_voxel_size: float = 0.2
+    #: Voxel edge length for the planar-feature map (m).
+    planar_voxel_size: float = 0.4
+    #: Capacity (slots) of the edge map.
+    edge_capacity: int = 1 << 15
+    #: Capacity (slots) of the planar map.
+    planar_capacity: int = 1 << 17
+    #: Evict map points farther than this from the sensor (0 disables).
+    keep_radius: float = 100.0
+    #: Insert a keyframe when translation since the last one exceeds this (m).
+    keyframe_dist: float = 0.5
+    #: ... or when rotation since the last one exceeds this (rad).
+    keyframe_angle: float = 0.1
+
+
+class ScanToMapState(NamedTuple):
+    """Carry for the scan-to-map loop (a pytree)."""
+
+    edge_map: VoxelMap
+    planar_map: VoxelMap
+    world_T_current: Pose3
+    prev_delta: Pose3
+    world_T_keyframe: Pose3
+    frames_since_insert: jax.Array  # int32; -1 means "no keyframe yet"
+
+
+def scan_to_map_init(
+    config: ScanToMapConfig = ScanToMapConfig(),
+    origin=(0.0, 0.0, 0.0),
+    dtype=jnp.float32,
+) -> ScanToMapState:
+    return ScanToMapState(
+        edge_map=voxel_map_empty(
+            config.edge_capacity, config.edge_voxel_size, origin, dtype
+        ),
+        planar_map=voxel_map_empty(
+            config.planar_capacity, config.planar_voxel_size, origin, dtype
+        ),
+        world_T_current=Pose3.identity(dtype),
+        prev_delta=Pose3.identity(dtype),
+        world_T_keyframe=Pose3.identity(dtype),
+        frames_since_insert=jnp.int32(-1),
+    )
+
+
+def _map_feature_set(edge_map: VoxelMap, planar_map: VoxelMap) -> FeatureSet:
+    e = edge_map.points.shape[0]
+    p = planar_map.points.shape[0]
+    return FeatureSet(
+        edge_points=edge_map.points,
+        edge_mask=edge_map.mask,
+        edge_indices=jnp.full((e,), -1, jnp.int32),
+        planar_points=planar_map.points,
+        planar_mask=planar_map.mask,
+        planar_indices=jnp.full((p,), -1, jnp.int32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lidar", "feat_params", "reg_params", "config"),
+)
+def scan_to_map_step(
+    state: ScanToMapState,
+    scan: jax.Array,
+    lidar: LidarParams,
+    feat_params: FeatureExtractionParams = FeatureExtractionParams(),
+    reg_params: RegistrationParams = RegistrationParams(search_backend="grid"),
+    config: ScanToMapConfig = ScanToMapConfig(),
+) -> Tuple[ScanToMapState, Pose3, RegistrationDetail]:
+    """Process one scan against the map; returns (state, world pose, detail).
+
+    Flow: extract -> register world-frame features against the voxel maps
+    (init = constant-velocity prediction) -> keyframe-gated map insert.
+    """
+    feats = extract_features(scan, lidar, feat_params)
+    dtype = feats.edge_points.dtype
+
+    init = state.world_T_current.compose(state.prev_delta)  # const-velocity
+    target = _map_feature_set(state.edge_map, state.planar_map)
+    world_T_new, detail = _register(feats, target, init, reg_params, with_matches=False)
+    # First frame (empty map): registration bails with the init pose; make
+    # that the identity start rather than the (identity-composed) prior.
+    first = state.frames_since_insert < 0
+    world_T_new = jax.tree.map(
+        lambda f, s: jnp.where(first, f, s),
+        state.world_T_current,
+        world_T_new,
+    )
+
+    # keyframe decision: motion since the last inserted keyframe
+    rel_q = quat_multiply(
+        quat_conjugate(state.world_T_keyframe.rotation), world_T_new.rotation
+    )
+    angle = 2.0 * jnp.arctan2(jnp.linalg.norm(rel_q[1:]), jnp.abs(rel_q[0]))
+    dist = jnp.linalg.norm(
+        world_T_new.translation - state.world_T_keyframe.translation
+    )
+    insert = first | (dist > config.keyframe_dist) | (angle > config.keyframe_angle)
+
+    def do_insert(maps):
+        edge_map, planar_map = maps
+        ew = world_T_new.act(feats.edge_points)
+        pw = world_T_new.act(feats.planar_points)
+        center = world_T_new.translation
+        edge_map, _ = voxel_map_insert(
+            edge_map, ew, feats.edge_mask, center, config.keep_radius
+        )
+        planar_map, _ = voxel_map_insert(
+            planar_map, pw, feats.planar_mask, center, config.keep_radius
+        )
+        return edge_map, planar_map
+
+    edge_map, planar_map = lax.cond(
+        insert, do_insert, lambda m: m, (state.edge_map, state.planar_map)
+    )
+
+    prev_delta = state.world_T_current.inverse().compose(world_T_new).normalize()
+    new_state = ScanToMapState(
+        edge_map=edge_map,
+        planar_map=planar_map,
+        world_T_current=world_T_new.normalize(),
+        prev_delta=prev_delta,
+        world_T_keyframe=jax.tree.map(
+            lambda k, n: jnp.where(insert, n, k), state.world_T_keyframe, world_T_new
+        ),
+        frames_since_insert=jnp.where(
+            insert, 0, jnp.maximum(state.frames_since_insert, 0) + 1
+        ).astype(jnp.int32),
+    )
+    return new_state, world_T_new, detail

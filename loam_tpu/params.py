@@ -151,6 +151,12 @@ class RegistrationParams:
     #: If True, actually enforce the line condition-number guard the
     #: reference intended but dead-coded (see ``min_line_condition_number``).
     enforce_line_condition: bool = False
+    #: Neighbor-search backend: "bruteforce" (exact MXU distance matrices,
+    #: best for feature-set-sized targets) or "grid" (voxel-hash, best for
+    #: map-scale targets; exact up to ``grid_max_per_cell`` occupancy).
+    search_backend: str = "bruteforce"
+    #: Per-voxel candidate cap for the "grid" backend.
+    grid_max_per_cell: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

@@ -52,6 +52,7 @@ def associate_edges(
     target_pts: jax.Array,
     target_mask: jax.Array,
     params: RegistrationParams,
+    knn_result=None,
 ) -> EdgeAssociations:
     """Edge association (reference ``associateEdges``, ``registration.cpp:23-62``).
 
@@ -61,14 +62,18 @@ def associate_edges(
         ``registration.cpp:34``; callers here transform the whole set once).
       query_mask: (E,) validity of source slots.
       target_pts / target_mask: (M, 3) / (M,) padded target edge set.
+      knn_result: optional precomputed KnnResult for these queries (e.g. from
+        the grid backend); when None the exact brute-force search runs here.
     """
-    res = knn(
-        query_pts,
-        target_pts,
-        target_mask,
-        k=params.num_edge_neighbors,
-        max_dist=params.max_edge_neighbor_dist,
-    )
+    res = knn_result
+    if res is None:
+        res = knn(
+            query_pts,
+            target_pts,
+            target_mask,
+            k=params.num_edge_neighbors,
+            max_dist=params.max_edge_neighbor_dist,
+        )
     count = jnp.sum(res.mask.astype(jnp.int32), axis=-1)
     enough = count >= params.min_line_fit_points
     neighbors = target_pts[res.indices]  # (E, k, 3)
@@ -94,15 +99,18 @@ def associate_planes(
     target_pts: jax.Array,
     target_mask: jax.Array,
     params: RegistrationParams,
+    knn_result=None,
 ) -> PlaneAssociations:
     """Plane association (reference ``associatePlanes``, ``registration.cpp:65-103``)."""
-    res = knn(
-        query_pts,
-        target_pts,
-        target_mask,
-        k=params.num_plane_neighbors,
-        max_dist=params.max_plane_neighbor_dist,
-    )
+    res = knn_result
+    if res is None:
+        res = knn(
+            query_pts,
+            target_pts,
+            target_mask,
+            k=params.num_plane_neighbors,
+            max_dist=params.max_plane_neighbor_dist,
+        )
     count = jnp.sum(res.mask.astype(jnp.int32), axis=-1)
     enough = count >= params.min_plane_fit_points
     neighbors = target_pts[res.indices]  # (Q, k, 3)

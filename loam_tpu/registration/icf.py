@@ -30,6 +30,7 @@ from jax import lax
 
 from ..features.types import FeatureSet
 from ..geometry import Pose3, quat_multiply, quat_normalize, quat_rotate
+from ..neighbors import build_grid, knn_grid
 from ..params import RegistrationParams, TerminationType
 from .associate import associate_edges, associate_planes
 from .detail import IterationInfo, RegistrationDetail
@@ -80,6 +81,45 @@ def _register(
         detail=detail0,
     )
 
+    # The target is fixed across outer iterations, so acceleration structures
+    # build ONCE here (the reference builds its KD-trees once too,
+    # ``registration-inl.h:20-23``). The grid backend is exact up to
+    # ``grid_max_per_cell`` voxel occupancy and turns each per-iteration
+    # search into two binary searches + one gather per (query, cell).
+    use_grid = (
+        params.search_backend == "grid"
+        and params.max_edge_neighbor_dist > 0
+        and params.max_plane_neighbor_dist > 0
+    )
+    if use_grid:
+        edge_grid = build_grid(
+            target.edge_points, target.edge_mask, params.max_edge_neighbor_dist
+        )
+        plane_grid = build_grid(
+            target.planar_points, target.planar_mask, params.max_plane_neighbor_dist
+        )
+
+        def edge_knn(q):
+            return knn_grid(
+                edge_grid,
+                q,
+                params.num_edge_neighbors,
+                params.max_edge_neighbor_dist,
+                params.grid_max_per_cell,
+            )[0]
+
+        def plane_knn(q):
+            return knn_grid(
+                plane_grid,
+                q,
+                params.num_plane_neighbors,
+                params.max_plane_neighbor_dist,
+                params.grid_max_per_cell,
+            )[0]
+
+    else:
+        edge_knn = plane_knn = None
+
     def cond(state: _LoopState):
         return (state.i < I) & ~state.done
 
@@ -88,10 +128,20 @@ def _register(
         qe = est.act(source.edge_points)
         qp = est.act(source.planar_points)
         ea = associate_edges(
-            qe, source.edge_mask, target.edge_points, target.edge_mask, params
+            qe,
+            source.edge_mask,
+            target.edge_points,
+            target.edge_mask,
+            params,
+            knn_result=edge_knn(qe) if use_grid else None,
         )
         pa = associate_planes(
-            qp, source.planar_mask, target.planar_points, target.planar_mask, params
+            qp,
+            source.planar_mask,
+            target.planar_points,
+            target.planar_mask,
+            params,
+            knn_result=plane_knn(qp) if use_grid else None,
         )
         n_edge = jnp.sum(ea.valid, dtype=jnp.int32)
         n_plane = jnp.sum(pa.valid, dtype=jnp.int32)

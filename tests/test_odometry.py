@@ -1,0 +1,107 @@
+"""Odometry driver tests on synthetic trajectories.
+
+Ground truth comes from ``render_trajectory``; accuracy thresholds are set
+for the small noiseless/low-noise synthetic world (tighter than the BASELINE
+ATE target, looser than registration unit tolerances).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from loam_tpu import (
+    LidarParams,
+    RegistrationParams,
+    odometry_offline,
+    scan_to_map_init,
+    scan_to_map_step,
+    scan_to_scan_init,
+    scan_to_scan_step,
+)
+from loam_tpu.evaluation import ate_rmse, rpe_rmse, umeyama_alignment
+from loam_tpu.io import render_trajectory
+
+LIDAR = LidarParams(16, 360, 0.5, 80.0)
+N_FRAMES = 6
+
+
+@pytest.fixture(scope="module")
+def trajectory():
+    scans, poses = render_trajectory(
+        LIDAR,
+        N_FRAMES,
+        step=np.array([0.10, 0.03, 0.0]),
+        yaw_rate=0.02,
+        noise=0.003,
+        seed=11,
+        dtype=np.float32,
+    )
+    gt = np.stack([t for (_, t) in poses])
+    return scans, gt
+
+
+def test_scan_to_scan(trajectory):
+    scans, gt = trajectory
+    state = scan_to_scan_init(LIDAR)
+    est_positions = []
+    for f in range(N_FRAMES):
+        state, pose, detail = scan_to_scan_step(state, jnp.asarray(scans[f]), LIDAR)
+        est_positions.append(np.asarray(pose.translation))
+    est = np.stack(est_positions)
+    ate = ate_rmse(est, gt, align=False)
+    assert ate < 0.05, f"scan-to-scan ATE {ate}"
+
+
+def test_scan_to_map(trajectory):
+    scans, gt = trajectory
+    state = scan_to_map_init()
+    reg = RegistrationParams(search_backend="grid")
+    est_positions = []
+    for f in range(N_FRAMES):
+        state, pose, detail = scan_to_map_step(
+            state, jnp.asarray(scans[f]), LIDAR, reg_params=reg
+        )
+        est_positions.append(np.asarray(pose.translation))
+    est = np.stack(est_positions)
+    assert int(state.edge_map.size) > 0
+    assert int(state.planar_map.size) > 0
+    ate = ate_rmse(est, gt, align=False)
+    assert ate < 0.05, f"scan-to-map ATE {ate}"
+
+
+def test_offline_matches_streaming(trajectory):
+    scans, gt = trajectory
+    traj, details = odometry_offline(jnp.asarray(scans), LIDAR)
+    est = np.asarray(traj.translation)
+    assert est.shape == (N_FRAMES, 3)
+    ate = ate_rmse(est, gt, align=False)
+    assert ate < 0.05, f"offline ATE {ate}"
+
+    # must agree with the streaming driver without motion prior (identical
+    # registrations, identical composition)
+    state = scan_to_scan_init(LIDAR)
+    stream = []
+    for f in range(N_FRAMES):
+        state, pose, _ = scan_to_scan_step(
+            state, jnp.asarray(scans[f]), LIDAR, use_motion_prior=False
+        )
+        stream.append(np.asarray(pose.translation))
+    np.testing.assert_allclose(est, np.stack(stream), atol=1e-5)
+
+
+def test_umeyama_recovers_known_transform():
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(40, 3))
+    ang = 0.7
+    R = np.array(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]]
+    )
+    t = np.array([1.0, -2.0, 0.5])
+    moved = (R @ pts.T).T + t
+    R2, t2, s = umeyama_alignment(pts, moved)
+    np.testing.assert_allclose(R2, R, atol=1e-9)
+    np.testing.assert_allclose(t2, t, atol=1e-9)
+    assert ate_rmse(pts, moved, align=True) < 1e-9
+    assert rpe_rmse(moved, moved) == 0.0
