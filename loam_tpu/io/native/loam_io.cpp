@@ -1,0 +1,329 @@
+// Native IO runtime for loam-tpu: point-cloud readers, spherical range-image
+// projection, and a threaded prefetching scan loader.
+//
+// The TPU compute path is JAX/XLA/Pallas; this is the host-side runtime
+// around it. LiDAR pipelines are commonly host-IO bound: parsing PCD/KITTI
+// files and projecting unordered clouds into the (scan_lines x
+// points_per_line) range-image layout the extractor consumes
+// (reference input convention: loam/include/loam/features.h:8-10) costs more
+// than the device step once the kernels are fast, so it runs here in C++
+// with a pthread prefetch pipeline, exposed to Python via ctypes
+// (loam_tpu/io/native.py). Every entry point has a NumPy fallback.
+//
+// Build: cc -O3 -shared -fPIC -o libloam_io.so loam_io.cpp -lpthread
+// (driven by loam_tpu/io/native.py on first import).
+
+#include <atomic>
+#include <cctype>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Readers. Return number of points written (<= max_points), or -1 on error.
+// Output layout: interleaved xyz float32.
+// ---------------------------------------------------------------------------
+
+// KITTI velodyne .bin: little-endian float32 records of (x, y, z, intensity).
+int loam_read_kitti_bin(const char* path, float* out, int max_points) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  int n = 0;
+  float rec[4];
+  while (n < max_points && std::fread(rec, sizeof(float), 4, f) == 4) {
+    out[3 * n + 0] = rec[0];
+    out[3 * n + 1] = rec[1];
+    out[3 * n + 2] = rec[2];
+    n++;
+  }
+  std::fclose(f);
+  return n;
+}
+
+namespace {
+
+struct PcdHeader {
+  std::vector<std::string> fields;
+  std::vector<int> sizes;
+  std::vector<char> types;
+  std::vector<int> counts;
+  long points = -1;
+  bool binary = false;
+  bool ok = false;
+  long data_offset = 0;
+};
+
+PcdHeader parse_pcd_header(FILE* f) {
+  PcdHeader h;
+  char line[4096];
+  while (std::fgets(line, sizeof(line), f)) {
+    std::string s(line);
+    auto starts = [&](const char* p) { return s.rfind(p, 0) == 0; };
+    auto split_rest = [&](std::vector<std::string>& outv) {
+      outv.clear();
+      size_t sp = s.find(' ');
+      if (sp == std::string::npos) return;
+      std::string rest = s.substr(sp + 1);
+      char* tok = std::strtok(rest.data(), " \t\r\n");
+      while (tok) {
+        outv.emplace_back(tok);
+        tok = std::strtok(nullptr, " \t\r\n");
+      }
+    };
+    if (starts("FIELDS")) {
+      split_rest(h.fields);
+    } else if (starts("SIZE")) {
+      std::vector<std::string> v;
+      split_rest(v);
+      for (auto& x : v) h.sizes.push_back(std::atoi(x.c_str()));
+    } else if (starts("TYPE")) {
+      std::vector<std::string> v;
+      split_rest(v);
+      for (auto& x : v) h.types.push_back(x.empty() ? 'F' : x[0]);
+    } else if (starts("COUNT")) {
+      std::vector<std::string> v;
+      split_rest(v);
+      for (auto& x : v) h.counts.push_back(std::atoi(x.c_str()));
+    } else if (starts("POINTS")) {
+      h.points = std::atol(s.substr(7).c_str());
+    } else if (starts("DATA")) {
+      h.binary = s.find("binary") != std::string::npos;
+      h.ok = true;
+      h.data_offset = std::ftell(f);
+      break;
+    }
+  }
+  if (h.counts.empty()) h.counts.assign(h.fields.size(), 1);
+  return h;
+}
+
+}  // namespace
+
+// PCD reader: ascii and (non-compressed) binary, x/y/z fields of size 4
+// (float32) or 8 (float64). Extra fields are skipped.
+int loam_read_pcd(const char* path, float* out, int max_points) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  PcdHeader h = parse_pcd_header(f);
+  if (!h.ok || h.points < 0 || h.fields.size() != h.sizes.size()) {
+    std::fclose(f);
+    return -1;
+  }
+  int xi = -1, yi = -1, zi = -1;
+  for (size_t i = 0; i < h.fields.size(); i++) {
+    if (h.fields[i] == "x") xi = (int)i;
+    if (h.fields[i] == "y") yi = (int)i;
+    if (h.fields[i] == "z") zi = (int)i;
+  }
+  if (xi < 0 || yi < 0 || zi < 0) {
+    std::fclose(f);
+    return -1;
+  }
+  long n_read = h.points < (long)max_points ? h.points : (long)max_points;
+  int n = 0;
+  if (h.binary) {
+    long stride = 0;
+    std::vector<long> offsets(h.fields.size());
+    for (size_t i = 0; i < h.fields.size(); i++) {
+      offsets[i] = stride;
+      stride += (long)h.sizes[i] * h.counts[i];
+    }
+    std::vector<unsigned char> rec(stride);
+    for (; n < n_read; n++) {
+      if (std::fread(rec.data(), 1, stride, f) != (size_t)stride) break;
+      const int idx[3] = {xi, yi, zi};
+      for (int c = 0; c < 3; c++) {
+        const unsigned char* p = rec.data() + offsets[idx[c]];
+        float v;
+        if (h.sizes[idx[c]] == 8) {
+          double d;
+          std::memcpy(&d, p, 8);
+          v = (float)d;
+        } else {
+          std::memcpy(&v, p, 4);
+        }
+        out[3 * n + c] = v;
+      }
+    }
+  } else {
+    char line[8192];
+    while (n < n_read && std::fgets(line, sizeof(line), f)) {
+      std::vector<double> vals;
+      char* tok = std::strtok(line, " \t\r\n");
+      while (tok) {
+        vals.push_back(std::atof(tok));
+        tok = std::strtok(nullptr, " \t\r\n");
+      }
+      if ((int)vals.size() < (int)h.fields.size()) continue;
+      out[3 * n + 0] = (float)vals[xi];
+      out[3 * n + 1] = (float)vals[yi];
+      out[3 * n + 2] = (float)vals[zi];
+      n++;
+    }
+  }
+  std::fclose(f);
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// Spherical range-image projection: unordered cloud -> (L, P, 3) grid in the
+// row-major layout the extractor consumes. Cells keep the NEAREST return;
+// empty cells are (0,0,0) (range 0 => out-of-range-invalidated downstream).
+// ---------------------------------------------------------------------------
+void loam_project_range_image(const float* pts, int n, int scan_lines,
+                              int points_per_line, float elev_lo,
+                              float elev_hi, float* out /*L*P*3*/) {
+  const long total = (long)scan_lines * points_per_line;
+  std::memset(out, 0, sizeof(float) * total * 3);
+  std::vector<float> best(total, 1e30f);
+  const float two_pi = 6.28318530717958647692f;
+  for (int i = 0; i < n; i++) {
+    const float x = pts[3 * i], y = pts[3 * i + 1], z = pts[3 * i + 2];
+    const float r2 = x * x + y * y + z * z;
+    if (r2 <= 1e-12f) continue;
+    const float rxy = std::sqrt(x * x + y * y);
+    const float elev = std::atan2(z, rxy);
+    float az = std::atan2(y, x);
+    if (az < 0) az += two_pi;
+    int row = (int)std::lround((elev - elev_lo) / (elev_hi - elev_lo) *
+                               (scan_lines - 1));
+    if (row < 0 || row >= scan_lines) continue;
+    int col = (int)(az / two_pi * points_per_line);
+    if (col >= points_per_line) col = points_per_line - 1;
+    const long cell = (long)row * points_per_line + col;
+    if (r2 < best[cell]) {
+      best[cell] = r2;
+      out[3 * cell + 0] = x;
+      out[3 * cell + 1] = y;
+      out[3 * cell + 2] = z;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Prefetching scan loader: worker threads read + project scans ahead of the
+// consumer into a bounded queue (classic host-side input pipeline; keeps the
+// accelerator fed). Files may be .bin (KITTI) or .pcd.
+// ---------------------------------------------------------------------------
+namespace {
+
+struct Loader {
+  std::vector<std::string> paths;
+  int scan_lines, points_per_line;
+  float elev_lo, elev_hi;
+  int max_raw_points;
+  size_t frame_floats;
+
+  std::mutex mu;
+  std::condition_variable cv_produce, cv_consume;
+  std::queue<std::pair<size_t, std::vector<float>>> ready;  // (index, grid)
+  size_t next_to_read = 0;    // next file index workers claim
+  size_t next_to_emit = 0;    // next index the consumer expects
+  size_t capacity;
+  std::atomic<bool> stop{false};
+  std::vector<std::thread> workers;
+
+  void work() {
+    std::vector<float> raw((size_t)max_raw_points * 3);
+    while (!stop.load()) {
+      size_t idx;
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (next_to_read >= paths.size()) return;
+        idx = next_to_read++;
+      }
+      const std::string& p = paths[idx];
+      int n;
+      if (p.size() > 4 && p.compare(p.size() - 4, 4, ".pcd") == 0) {
+        n = loam_read_pcd(p.c_str(), raw.data(), max_raw_points);
+      } else {
+        n = loam_read_kitti_bin(p.c_str(), raw.data(), max_raw_points);
+      }
+      std::vector<float> grid(frame_floats);
+      if (n > 0) {
+        loam_project_range_image(raw.data(), n, scan_lines, points_per_line,
+                                 elev_lo, elev_hi, grid.data());
+      }
+      std::unique_lock<std::mutex> lk(mu);
+      cv_produce.wait(lk, [&] {
+        return stop.load() || ready.size() < capacity ||
+               idx == next_to_emit;  // never block the in-order frame
+      });
+      if (stop.load()) return;
+      ready.emplace(idx, std::move(grid));
+      cv_consume.notify_all();
+    }
+  }
+};
+
+}  // namespace
+
+void* loam_loader_create(const char** paths, int n_paths, int scan_lines,
+                         int points_per_line, float elev_lo, float elev_hi,
+                         int max_raw_points, int n_threads, int queue_cap) {
+  auto* L = new Loader();
+  for (int i = 0; i < n_paths; i++) L->paths.emplace_back(paths[i]);
+  L->scan_lines = scan_lines;
+  L->points_per_line = points_per_line;
+  L->elev_lo = elev_lo;
+  L->elev_hi = elev_hi;
+  L->max_raw_points = max_raw_points;
+  L->frame_floats = (size_t)scan_lines * points_per_line * 3;
+  L->capacity = queue_cap > 0 ? queue_cap : 4;
+  int nt = n_threads > 0 ? n_threads : 2;
+  for (int i = 0; i < nt; i++) L->workers.emplace_back(&Loader::work, L);
+  return L;
+}
+
+// Copies the next frame (in file order) into out; returns its index, or -1
+// when the stream is exhausted.
+int loam_loader_next(void* handle, float* out) {
+  auto* L = (Loader*)handle;
+  std::unique_lock<std::mutex> lk(L->mu);
+  for (;;) {
+    // search queue for the in-order frame
+    if (!L->ready.empty()) {
+      // queue is a FIFO of completed frames, possibly out of order; drain
+      // matching index by rotating
+      size_t qs = L->ready.size();
+      for (size_t i = 0; i < qs; i++) {
+        auto item = std::move(L->ready.front());
+        L->ready.pop();
+        if (item.first == L->next_to_emit) {
+          std::memcpy(out, item.second.data(),
+                      sizeof(float) * L->frame_floats);
+          L->next_to_emit++;
+          L->cv_produce.notify_all();
+          return (int)item.first;
+        }
+        L->ready.push(std::move(item));
+      }
+    }
+    if (L->next_to_emit >= L->paths.size()) return -1;
+    bool all_claimed = L->next_to_read >= L->paths.size();
+    if (all_claimed && L->ready.empty() && L->workers.empty()) return -1;
+    L->cv_produce.notify_all();
+    L->cv_consume.wait(lk);
+  }
+}
+
+void loam_loader_destroy(void* handle) {
+  auto* L = (Loader*)handle;
+  L->stop.store(true);
+  L->cv_produce.notify_all();
+  L->cv_consume.notify_all();
+  for (auto& t : L->workers) t.join();
+  delete L;
+}
+
+}  // extern "C"

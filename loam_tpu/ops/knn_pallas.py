@@ -3,10 +3,15 @@
 Replaces the XLA path's HBM-materialized (Q, M) distance matrix + k argmin
 re-reads (~15 GB of HBM traffic for 19.5k x 19.5k) with a single kernel that
 keeps everything in VMEM: per query tile, loop over target chunks — the VPU
-computes (TQ, TT) squared distances by direct coordinate differences (exact
-f32; the MXU cross-term form is 2%-utilized at K=3 and numerically worse)
-and maintains a running top-k per query. HBM traffic drops to reading
+computes squared distances by direct coordinate differences (exact f32; the
+MXU cross-term form is 2%-utilized at K=3 and numerically worse) and
+maintains a running top-k per query. HBM traffic drops to reading
 queries/targets once per tile.
+
+Layout note: distances are (targets, queries) = (sublanes, lanes) so every
+reduction (min/argmin over targets) runs along SUBLANES — much cheaper on
+the VPU than the lane-axis reductions that dominated the first version of
+this kernel.
 
 Semantics identical to ``bruteforce.knn``/``topk_min``: ascending distance,
 first-index tie-breaking (within a chunk argmin takes the first minimum;
@@ -34,56 +39,56 @@ def pallas_supported() -> bool:
         return False
 
 
-def _extract_k(d2, col, k):
-    """k smallest of d2 (TQ, W) -> ((TQ, k) values, (TQ, k) cols), ascending,
-    first-index ties. Unrolled min/argmin passes (VPU)."""
-    vs, cs = [], []
+def _extract_k_rows(d2, row, k):
+    """k smallest of d2 (W, TQ) along axis 0 -> ((k, TQ) values, (k, TQ)
+    rows), ascending, first-index ties. Unrolled min/argmin sublane passes."""
+    vs, rs = [], []
     for _ in range(k):
-        m = jnp.min(d2, axis=1)
-        am = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        m = jnp.min(d2, axis=0)
+        am = jnp.argmin(d2, axis=0).astype(jnp.int32)
         vs.append(m)
-        cs.append(am)
-        d2 = jnp.where(col == am[:, None], jnp.inf, d2)
-    return jnp.stack(vs, axis=1), jnp.stack(cs, axis=1)
+        rs.append(am)
+        d2 = jnp.where(row == am[None, :], jnp.inf, d2)
+    return jnp.stack(vs, axis=0), jnp.stack(rs, axis=0)
 
 
 def _knn_kernel(q_ref, t_ref, tinv_ref, idx_ref, d2_ref, *, k: int, tt: int):
     q = q_ref[...]  # (3, TQ)
     tq = q.shape[1]
     m_total = t_ref.shape[1]
-    col = lax.broadcasted_iota(jnp.int32, (tq, tt), 1)
-    col2k = lax.broadcasted_iota(jnp.int32, (tq, 2 * k), 1)
+    row = lax.broadcasted_iota(jnp.int32, (tt, tq), 0)
+    row2k = lax.broadcasted_iota(jnp.int32, (2 * k, tq), 0)
+    qx = q[0][None, :]
+    qy = q[1][None, :]
+    qz = q[2][None, :]
 
     def chunk(c, state):
-        best_v, best_i = state
+        best_v, best_i = state  # (k, TQ) each
         off = c * tt
         t = t_ref[:, pl.ds(off, tt)]  # (3, TT)
         tinv = tinv_ref[0, pl.ds(off, tt)]  # (TT,) +inf at invalid slots
-        # Direct squared differences on the VPU: exact f32 (the
-        # |q|^2+|t|^2-2qt MXU form suffers bf16 inputs / cancellation, and
-        # at K=3 the MXU is 2% utilized — no speed advantage to recover).
-        dx = t[0][None, :] - q[0][:, None]
-        dy = t[1][None, :] - q[1][:, None]
-        dz = t[2][None, :] - q[2][:, None]
-        d2 = dx * dx + dy * dy + dz * dz + tinv[None, :]
-        cv, cc = _extract_k(d2, col, k)
-        ci = cc + off
+        dx = t[0][:, None] - qx
+        dy = t[1][:, None] - qy
+        dz = t[2][:, None] - qz
+        d2 = dx * dx + dy * dy + dz * dz + tinv[:, None]  # (TT, TQ)
+        cv, cr = _extract_k_rows(d2, row, k)
+        ci = cr + off
         # merge running + chunk candidates (running first: lower indices win
         # distance ties, preserving global first-index tie-breaking)
-        mv = jnp.concatenate([best_v, cv], axis=1)  # (TQ, 2k)
-        mi = jnp.concatenate([best_i, ci], axis=1)
-        nv, nc = [], []
+        mv = jnp.concatenate([best_v, cv], axis=0)  # (2k, TQ)
+        mi = jnp.concatenate([best_i, ci], axis=0)
+        nv, ni = [], []
         for _ in range(k):
-            m = jnp.min(mv, axis=1)
-            am = jnp.argmin(mv, axis=1).astype(jnp.int32)
-            sel = col2k == am[:, None]
+            m = jnp.min(mv, axis=0)
+            am = jnp.argmin(mv, axis=0).astype(jnp.int32)
+            sel = row2k == am[None, :]
             nv.append(m)
-            nc.append(jnp.sum(jnp.where(sel, mi, 0), axis=1))
+            ni.append(jnp.sum(jnp.where(sel, mi, 0), axis=0))
             mv = jnp.where(sel, jnp.inf, mv)
-        return jnp.stack(nv, axis=1), jnp.stack(nc, axis=1)
+        return jnp.stack(nv, axis=0), jnp.stack(ni, axis=0)
 
-    best_v = jnp.full((tq, k), jnp.inf, jnp.float32)
-    best_i = jnp.zeros((tq, k), jnp.int32)
+    best_v = jnp.full((k, tq), jnp.inf, jnp.float32)
+    best_i = jnp.zeros((k, tq), jnp.int32)
     best_v, best_i = lax.fori_loop(0, m_total // tt, chunk, (best_v, best_i))
     idx_ref[...] = best_i
     d2_ref[...] = best_v
@@ -96,8 +101,8 @@ def knn_pallas(
     target_mask: jax.Array,
     k: int,
     max_dist: float = 0.0,
-    tq: int = 256,
-    tt: int = 512,
+    tq: int = 512,
+    tt: int = 1024,
 ):
     """Drop-in equivalent of ``bruteforce.knn`` on TPU (f32).
 
@@ -128,17 +133,17 @@ def knn_pallas(
             pl.BlockSpec((1, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tq, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((qpad, k), jnp.int32),
-            jax.ShapeDtypeStruct((qpad, k), jnp.float32),
+            jax.ShapeDtypeStruct((k, qpad), jnp.int32),
+            jax.ShapeDtypeStruct((k, qpad), jnp.float32),
         ],
     )(qT, tT, tinv)
 
-    idx = idx[:Q]
-    d2 = d2[:Q]
+    idx = idx[:, :Q].T
+    d2 = d2[:, :Q].T
     dist = jnp.sqrt(jnp.maximum(d2, 0.0))
     valid = jnp.isfinite(d2)
     if max_dist > 0:

@@ -1,0 +1,69 @@
+"""Profiling / tracing utilities (SURVEY §5: absent in the reference).
+
+Two tools:
+
+  * :func:`trace` — context manager around ``jax.profiler`` writing a
+    TensorBoard-loadable device trace.
+  * :func:`device_time` — amortized device timing of a jitted function.
+    Remote-attached TPUs cost tens of ms per dispatch, so the op is repeated
+    N times inside one compiled ``lax.scan`` whose carry perturbs the input
+    (defeating CSE/hoisting) and the dispatch overhead divides away.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """``with trace("/tmp/trace"):`` — device trace for TensorBoard."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def device_time(
+    fn: Callable,
+    x: jax.Array,
+    *static_args,
+    n_inner: int = 10,
+    reps: int = 2,
+) -> float:
+    """Average seconds per call of ``fn(x, *static_args)`` on device.
+
+    ``fn``'s first argument must be a float array; the measurement loop adds
+    a data-dependent ~0 perturbation each iteration so the compiler cannot
+    fold the repeats. Returns seconds (compile time excluded).
+    """
+
+    def loop(x0):
+        def body(carry, _):
+            out = fn(x0 + carry, *static_args)
+            leaves = [
+                l
+                for l in jax.tree.leaves(out)
+                if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+            ]
+            s = sum(jnp.sum(jnp.where(jnp.isfinite(l), l, 0)) for l in leaves)
+            if not leaves:
+                s = jnp.asarray(0.0, x0.dtype)
+            return jnp.asarray(s, x0.dtype).reshape(()) * 1e-30, ()
+
+        c, _ = lax.scan(body, jnp.zeros((), x0.dtype), None, length=n_inner)
+        return c
+
+    jloop = jax.jit(loop)
+    jax.block_until_ready(jloop(x))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.block_until_ready(jloop(x))
+    return (time.perf_counter() - t0) / (reps * n_inner)
