@@ -37,7 +37,7 @@ from .features import (
     extract_features,
     feature_set_from_points,
 )
-from . import checkpoint, evaluation
+from . import checkpoint, evaluation, pose_graph
 from .map import VoxelMap, voxel_map_empty, voxel_map_insert
 from .neighbors import knn
 from .odometry import (
