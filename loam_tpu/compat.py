@@ -205,10 +205,9 @@ class RegistrationDetail:
 
 
 def _as_scan_array(input_scan) -> np.ndarray:
-    arr = np.asarray(input_scan, dtype=np.float64)
-    if arr.ndim == 3:
-        arr = arr.reshape(-1, 3)
-    return arr
+    from .adapters import as_points
+
+    return as_points(input_scan, dtype=np.float64)
 
 
 def extractFeatures(

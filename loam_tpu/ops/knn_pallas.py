@@ -52,7 +52,10 @@ def _extract_k_rows(d2, row, k):
     return jnp.stack(vs, axis=0), jnp.stack(rs, axis=0)
 
 
-def _knn_kernel(q_ref, t_ref, tinv_ref, idx_ref, d2_ref, *, k: int, tt: int):
+def _knn_kernel(
+    q_ref, t_ref, tinv_ref, bbox_ref, qbox_ref, idx_ref, d2_ref, *, k: int,
+    tt: int, r2_skip: float,
+):
     q = q_ref[...]  # (3, TQ)
     tq = q.shape[1]
     m_total = t_ref.shape[1]
@@ -62,8 +65,8 @@ def _knn_kernel(q_ref, t_ref, tinv_ref, idx_ref, d2_ref, *, k: int, tt: int):
     qy = q[1][None, :]
     qz = q[2][None, :]
 
-    def chunk(c, state):
-        best_v, best_i = state  # (k, TQ) each
+    def chunk_work(c, state):
+        best_v, best_i = state
         off = c * tt
         t = t_ref[:, pl.ds(off, tt)]  # (3, TT)
         tinv = tinv_ref[0, pl.ds(off, tt)]  # (TT,) +inf at invalid slots
@@ -86,6 +89,28 @@ def _knn_kernel(q_ref, t_ref, tinv_ref, idx_ref, d2_ref, *, k: int, tt: int):
             ni.append(jnp.sum(jnp.where(sel, mi, 0), axis=0))
             mv = jnp.where(sel, jnp.inf, mv)
         return jnp.stack(nv, axis=0), jnp.stack(ni, axis=0)
+
+    if r2_skip > 0:
+
+        def chunk(c, state):
+            # Exact chunk culling: scan-ordered targets are spatially
+            # coherent, so most chunks' bounding boxes lie entirely beyond
+            # the radius filter — their entries would be masked out anyway
+            # (strict < max_dist), so skipping them changes nothing. All
+            # bbox math is SMEM scalar arithmetic.
+            tile = pl.program_id(0)
+            sep2 = jnp.float32(0.0)
+            for a in range(3):
+                qlo = qbox_ref[tile, a]
+                qhi = qbox_ref[tile, 3 + a]
+                blo = bbox_ref[0, 6 * c + a]
+                bhi = bbox_ref[0, 6 * c + 3 + a]
+                g = jnp.maximum(jnp.maximum(qlo - bhi, blo - qhi), 0.0)
+                sep2 = sep2 + g * g
+            return lax.cond(sep2 < r2_skip, chunk_work, lambda _, s: s, c, state)
+
+    else:
+        chunk = chunk_work
 
     best_v = jnp.full((k, tq), jnp.inf, jnp.float32)
     best_i = jnp.zeros((k, tq), jnp.int32)
@@ -123,14 +148,41 @@ def knn_pallas(
     tinv = jnp.full((1, mpad), jnp.inf, dtype)
     tinv = tinv.at[0, :M].set(jnp.where(target_mask, 0.0, jnp.inf))
 
-    grid = (qpad // tq,)
+    # per-chunk target bounding boxes + per-tile query bounding boxes for
+    # exact radius culling (layout: [lo_x, lo_y, lo_z, hi_x, hi_y, hi_z])
+    n_chunks = mpad // tt
+    n_tiles = qpad // tq
+    big = jnp.asarray(3e37, dtype)
+    tvalid = jnp.zeros((mpad,), bool).at[:M].set(target_mask)
+    tch = tT.reshape(3, n_chunks, tt)
+    vch = tvalid.reshape(n_chunks, tt)[None]
+    blo = jnp.min(jnp.where(vch, tch, big), axis=2)  # (3, n_chunks)
+    bhi = jnp.max(jnp.where(vch, tch, -big), axis=2)
+    bbox = jnp.concatenate([blo, bhi], axis=0)  # (6, n_chunks)
+    bbox = bbox.T.reshape(1, n_chunks * 6)
+    qch = qT.reshape(3, n_tiles, tq)
+    qvalid = jnp.zeros((qpad,), bool).at[:Q].set(True).reshape(1, n_tiles, tq)
+    qlo = jnp.min(jnp.where(qvalid, qch, big), axis=2)  # (3, n_tiles)
+    qhi = jnp.max(jnp.where(qvalid, qch, -big), axis=2)
+    qbox = jnp.concatenate([qlo, qhi], axis=0).T  # (n_tiles, 6)
+
+    grid = (n_tiles,)
     idx, d2 = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, tt=tt),
+        functools.partial(
+            _knn_kernel, k=k, tt=tt,
+            r2_skip=float(max_dist) ** 2 if max_dist > 0 else 0.0,
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, n_chunks * 6), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (n_tiles, 6), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
         ],
         out_specs=[
             pl.BlockSpec((k, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -140,7 +192,7 @@ def knn_pallas(
             jax.ShapeDtypeStruct((k, qpad), jnp.int32),
             jax.ShapeDtypeStruct((k, qpad), jnp.float32),
         ],
-    )(qT, tT, tinv)
+    )(qT, tT, tinv, bbox, qbox)
 
     idx = idx[:, :Q].T
     d2 = d2[:, :Q].T

@@ -53,6 +53,7 @@ def associate_edges(
     target_mask: jax.Array,
     params: RegistrationParams,
     knn_result=None,
+    neighbor_pts=None,
 ) -> EdgeAssociations:
     """Edge association (reference ``associateEdges``, ``registration.cpp:23-62``).
 
@@ -64,6 +65,9 @@ def associate_edges(
       target_pts / target_mask: (M, 3) / (M,) padded target edge set.
       knn_result: optional precomputed KnnResult for these queries (e.g. from
         the grid backend); when None the exact brute-force search runs here.
+      neighbor_pts: optional pre-gathered (E, k, 3) neighbor coordinates —
+        required when ``target_pts`` is not locally addressable (sharded
+        targets: the distributed search returns coordinates directly).
     """
     res = knn_result
     if res is None:
@@ -76,7 +80,9 @@ def associate_edges(
         )
     count = jnp.sum(res.mask.astype(jnp.int32), axis=-1)
     enough = count >= params.min_line_fit_points
-    neighbors = target_pts[res.indices]  # (E, k, 3)
+    neighbors = (
+        target_pts[res.indices] if neighbor_pts is None else neighbor_pts
+    )  # (E, k, 3)
     a, b, cond = fit_line(neighbors, res.mask)
     # Degenerate fits (identical neighbors etc.) may produce non-finite
     # output; such slots must never contribute (0 * nan poisons the normal
@@ -100,6 +106,7 @@ def associate_planes(
     target_mask: jax.Array,
     params: RegistrationParams,
     knn_result=None,
+    neighbor_pts=None,
 ) -> PlaneAssociations:
     """Plane association (reference ``associatePlanes``, ``registration.cpp:65-103``)."""
     res = knn_result
@@ -113,7 +120,9 @@ def associate_planes(
         )
     count = jnp.sum(res.mask.astype(jnp.int32), axis=-1)
     enough = count >= params.min_plane_fit_points
-    neighbors = target_pts[res.indices]  # (Q, k, 3)
+    neighbors = (
+        target_pts[res.indices] if neighbor_pts is None else neighbor_pts
+    )  # (Q, k, 3)
     normal, d, avg_dist = fit_plane(neighbors, res.mask)
     # Signed mean residual, matching ``geometry.cpp:71`` + guard at
     # ``registration.cpp:90`` (rejects only when avg_dist > threshold).

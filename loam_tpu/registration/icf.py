@@ -22,6 +22,7 @@ with per-pair masking).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -50,6 +51,33 @@ def _angle_from_identity(q: jax.Array) -> jax.Array:
     return 2.0 * jnp.arctan2(jnp.linalg.norm(q[..., 1:], axis=-1), jnp.abs(q[..., 0]))
 
 
+def _azimuth_perm(points: jax.Array, mask: jax.Array) -> jax.Array:
+    """Permutation sorting valid slots by azimuth (invalid slots last).
+
+    Feature slots come in (line, sector, rank) order, so any contiguous tile
+    of them spans the full 360 deg sweep — which defeats the Pallas kNN
+    kernel's bounding-box chunk culling. Azimuth-sorting both sides makes
+    query tiles and target chunks cover narrow wedges, letting the kernel
+    skip almost all chunks (exact: culled chunks are beyond the radius
+    filter). Sets/fits are permutation-invariant; only kNN *tie* resolution
+    can differ, which set-level semantics allow.
+    """
+    az = jnp.arctan2(points[:, 1], points[:, 0])
+    key = jnp.where(mask, az, jnp.asarray(1e9, az.dtype))
+    return jnp.argsort(key).astype(jnp.int32)
+
+
+def _permute_features(fs: FeatureSet, e_perm: jax.Array, p_perm: jax.Array) -> FeatureSet:
+    return FeatureSet(
+        edge_points=fs.edge_points[e_perm],
+        edge_mask=fs.edge_mask[e_perm],
+        edge_indices=fs.edge_indices[e_perm],
+        planar_points=fs.planar_points[p_perm],
+        planar_mask=fs.planar_mask[p_perm],
+        planar_indices=fs.planar_indices[p_perm],
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("params", "with_matches"))
 def _register(
     source: FeatureSet,
@@ -64,6 +92,27 @@ def _register(
     I = params.max_iterations
     Em = E if with_matches else 0
     Qm = Q if with_matches else 0
+
+    # Azimuth-sort both feature sets when the Pallas kNN path is active so
+    # its bounding-box chunk culling fires (see _azimuth_perm). Exactness is
+    # unaffected; detail match indices are mapped back below.
+    from ..ops.knn_pallas import pallas_supported
+
+    reorder = (
+        pallas_supported()
+        and dtype == jnp.float32
+        and params.search_backend == "bruteforce"
+        and params.max_edge_neighbor_dist > 0
+        and params.max_plane_neighbor_dist > 0
+        and os.environ.get("LOAM_DISABLE_PALLAS", "0") != "1"
+    )
+    if reorder:
+        se = _azimuth_perm(source.edge_points, source.edge_mask)
+        sp = _azimuth_perm(source.planar_points, source.planar_mask)
+        te = _azimuth_perm(target.edge_points, target.edge_mask)
+        tp = _azimuth_perm(target.planar_points, target.planar_mask)
+        source = _permute_features(source, se, sp)
+        target = _permute_features(target, te, tp)
 
     detail0 = IterationInfo(
         target_T_source_init=Pose3.identity(dtype, (I,)),
@@ -213,8 +262,21 @@ def _register(
     # iterations that ran AND recorded: insufficient terminal one is excluded
     insufficient_end = final.status == TerminationType.INSUFFICIENT_ASSOCIATIONS
     n_rec = jnp.where(insufficient_end, final.i - 1, final.i)
+    info = final.detail
+    if reorder and with_matches:
+        # map match arrays back to the caller's slot order: permuted source
+        # row i holds original slot s_perm[i]; a permuted target value v
+        # denotes original slot t_perm[v].
+        def remap(match, s_perm, t_perm):
+            vals = jnp.where(match >= 0, t_perm[jnp.maximum(match, 0)], -1)
+            return jnp.full_like(match, -1).at[:, s_perm].set(vals)
+
+        info = info._replace(
+            edge_match=remap(info.edge_match, se, te),
+            plane_match=remap(info.plane_match, sp, tp),
+        )
     detail = RegistrationDetail(
-        iteration_info=final.detail,
+        iteration_info=info,
         termination=final.status,
         num_iterations=n_rec.astype(jnp.int32),
     )

@@ -74,3 +74,23 @@ def test_root_shim_importable():
 
     assert shim.CONVERGED == loam.CONVERGED
     assert hasattr(shim, "registerFeatures")
+
+
+def test_point_type_adapters():
+    """Analogue of the reference's accessor templates (common.h:53-93):
+    structured arrays, attribute-style points, and plain lists all work."""
+    import collections
+
+    from loam_tpu.adapters import as_points
+
+    pts = np.array([(1.0, 2.0, 3.0), (4.0, 5.0, 6.0)],
+                   dtype=[("x", "f4"), ("y", "f4"), ("z", "f4")])
+    np.testing.assert_allclose(as_points(pts), [[1, 2, 3], [4, 5, 6]])
+
+    P = collections.namedtuple("P", "x y z")
+    np.testing.assert_allclose(
+        as_points([P(1, 2, 3), P(4, 5, 6)]), [[1, 2, 3], [4, 5, 6]]
+    )
+    np.testing.assert_allclose(as_points([[1, 2, 3]]), [[1, 2, 3]])
+    grid = np.zeros((2, 4, 3))
+    assert as_points(grid).shape == (8, 3)

@@ -66,3 +66,79 @@ def test_sharded_odometry_2d_mesh(scans):
     np.testing.assert_allclose(
         np.asarray(traj_sh.translation), np.asarray(traj.translation), atol=1e-5
     )
+
+
+def test_sharded_registration_matches_single():
+    """Registration against a target sharded over 8 devices must match the
+    single-device result (same associations, same tie-breaking)."""
+    import jax.numpy as jnp
+    from loam_tpu import RegistrationParams, feature_set_from_points, register_features
+    from loam_tpu.geometry import Pose3, quat_from_axis_angle
+    from loam_tpu.parallel import make_mesh
+    from loam_tpu.parallel.distributed import register_features_sharded
+
+    rng = np.random.default_rng(7)
+    # synthetic planes + edges, padded to shard-divisible capacities
+    planar = []
+    for y in np.arange(2, 5, 0.12):
+        for z in np.arange(-1, 1, 0.12):
+            planar.append((-3.0, y, z))
+            planar.append((y - 3.0, 5.0, z))
+    edge = [(-1.0, 4.0, z) for z in np.arange(-1, 2, 0.05)]
+    edge += [(2.0, 2.0, z) for z in np.arange(-1, 2, 0.05)]
+    edge = np.asarray(edge)
+    planar = np.asarray(planar)
+    e_cap = -(-len(edge) // 8) * 8
+    p_cap = -(-len(planar) // 8) * 8
+    target = feature_set_from_points(
+        edge, planar, edge_capacity=e_cap, planar_capacity=p_cap, dtype=jnp.float32
+    )
+    true = Pose3(
+        quat_from_axis_angle(jnp.asarray([0.2, 0.5, 1.0]) / np.sqrt(1.29), 0.03),
+        jnp.asarray([0.04, -0.02, 0.05]),
+    )
+    src_e = np.asarray(true.act(jnp.asarray(edge, jnp.float32)))
+    src_p = np.asarray(true.act(jnp.asarray(planar, jnp.float32)))
+    source = feature_set_from_points(
+        src_e, src_p, edge_capacity=e_cap, planar_capacity=p_cap, dtype=jnp.float32
+    )
+    params = RegistrationParams(min_associations=50)
+
+    single, detail = register_features(source, target, None, params)
+    mesh = make_mesh(line_axis=1)
+    sharded, status, iters = register_features_sharded(
+        source, target, Pose3.identity(jnp.float32), mesh, params
+    )
+    assert int(status) == int(detail.termination)
+    np.testing.assert_allclose(
+        np.asarray(sharded.translation), np.asarray(single.translation), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.rotation), np.asarray(single.rotation), atol=1e-5
+    )
+
+
+def test_sharded_voxel_map_matches_single():
+    import jax.numpy as jnp
+    from loam_tpu import voxel_map_empty, voxel_map_insert
+    from loam_tpu.parallel import make_mesh
+    from loam_tpu.parallel.distributed import sharded_map_empty, sharded_map_insert
+
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.uniform(-10, 10, (500, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.random(500) > 0.1)
+
+    single = voxel_map_empty(1024, 0.5)
+    single, _ = voxel_map_insert(single, pts, mask)
+
+    mesh = make_mesh(line_axis=1)
+    sh = sharded_map_empty(256, 0.5, mesh)
+    sh, dropped = sharded_map_insert(sh, pts, mask, mesh)
+    assert int(dropped) == 0
+
+    def occupied(points, m):
+        return set(map(tuple, np.asarray(points)[np.asarray(m)].round(6).tolist()))
+
+    got = occupied(sh.points.reshape(-1, 3), sh.mask.reshape(-1))
+    want = occupied(single.points, single.mask)
+    assert got == want
