@@ -1,0 +1,89 @@
+"""Multi-device scaling-efficiency benchmark (BASELINE: >= 80% target).
+
+Measures batched odometry throughput on 1 device vs all devices with the
+frame axis sharded over the mesh, and reports scaling efficiency
+(throughput_N / (N * throughput_1)).
+
+On this development image only one real TPU chip is attached, so the
+multi-chip numbers come from the virtual CPU mesh (functional validation of
+the sharded path + collective overhead accounting); run on a real v5e pod
+slice for ICI-backed numbers:
+
+    python benchmarks/scaling.py            # current backend, all devices
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python benchmarks/scaling.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run(n_devices, scans, lidar, feat_params, reg_params, reps=3):
+    import jax
+    from loam_tpu.parallel import make_mesh, odometry_offline_sharded
+
+    mesh = make_mesh(jax.devices()[:n_devices], line_axis=1)
+
+    def once():
+        traj, _ = odometry_offline_sharded(
+            scans, lidar, mesh, feat_params, reg_params
+        )
+        jax.block_until_ready(traj)
+
+    once()  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        once()
+    return scans.shape[0] * reps / (time.perf_counter() - t0)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from loam_tpu import LidarParams
+    from loam_tpu.params import FeatureExtractionParams, RegistrationParams
+    from loam_tpu.io import render_trajectory
+
+    n = len(jax.devices())
+    frames_per_device = int(os.environ.get("LOAM_SCALING_FPD", "2"))
+    lidar = LidarParams(
+        int(os.environ.get("LOAM_SCALING_LINES", "16")),
+        int(os.environ.get("LOAM_SCALING_PPL", "512")),
+        0.5,
+        120.0,
+    )
+    feat_params = FeatureExtractionParams()
+    reg_params = RegistrationParams()
+
+    scans, _ = render_trajectory(
+        lidar, n * frames_per_device, step=np.array([0.08, 0.02, 0.0]),
+        noise=0.005, seed=0, dtype=np.float32,
+    )
+    scans = jnp.asarray(scans)
+
+    tp1 = run(1, scans, lidar, feat_params, reg_params)
+    tpn = run(n, scans, lidar, feat_params, reg_params)
+    eff = tpn / (n * tp1)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "devices": n,
+                "throughput_1dev": round(tp1, 2),
+                f"throughput_{n}dev": round(tpn, 2),
+                "value": round(eff, 3),
+                "unit": "fraction of linear scaling",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

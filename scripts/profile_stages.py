@@ -1,52 +1,23 @@
 """Per-stage DEVICE timing of the pipeline on the default backend (TPU).
 
-The remote-TPU tunnel has ~30 ms per-dispatch latency, so each stage is
-iterated N times inside ONE jitted ``lax.scan`` (with a carry-dependent
-input perturbation to defeat CSE) and the dispatch cost amortized away.
-
-Run: python scripts/profile_stages.py
+Uses ``loam_tpu.profiling.device_time`` (dispatch-amortized, CSE-proof).
+Run: python scripts/profile_stages.py   [PROFILE_GRID=1 for grid kNN stages]
 """
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
 
-N_INNER = 20
-REPS = 2
+from loam_tpu.profiling import device_time as _device_time
 
 
-def device_time(name, fn, x, *static_args):
-    """Time ``fn(x, *static_args)`` amortized over N_INNER in-graph calls.
-
-    ``fn`` must take a (perturbable) float array first arg. Carry chains a
-    scalar derived from each output into the next input so XLA cannot CSE or
-    reorder the repeats.
-    """
-
-    def loop(x0):
-        def body(carry, _):
-            out = fn(x0 + carry, *static_args)
-            leaves = [l for l in jax.tree.leaves(out) if jnp.issubdtype(l.dtype, jnp.floating)]
-            s = sum(jnp.sum(l) for l in leaves)
-            carry = jnp.asarray(s, x0.dtype).reshape(()) * 1e-30
-            return carry, ()
-
-        c, _ = lax.scan(body, jnp.zeros((), x0.dtype), None, length=N_INNER)
-        return c
-
-    jloop = jax.jit(loop)
-    out = jax.block_until_ready(jloop(x))  # compile
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        out = jax.block_until_ready(jloop(x))
-    dt = (time.perf_counter() - t0) / (REPS * N_INNER)
+def device_time(name, fn, x, *static_args, n=10):
+    dt = _device_time(fn, x, *static_args, n_inner=n, reps=2)
     print(f"{name:45s} {dt*1000:10.3f} ms")
     return dt
 
