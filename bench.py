@@ -9,7 +9,7 @@ scans/s.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs:
-  LOAM_BENCH_FRAMES  (default 6)   frames per timed batch
+  LOAM_BENCH_FRAMES  (default 8)   frames per timed batch
   LOAM_BENCH_REPS    (default 3)   timed repetitions
   LOAM_BENCH_BACKEND (default "bruteforce") neighbor search backend
 
@@ -33,7 +33,7 @@ def main():
     from loam_tpu.params import FeatureExtractionParams, RegistrationParams
     from loam_tpu.io import render_trajectory
 
-    frames = int(os.environ.get("LOAM_BENCH_FRAMES", "6"))
+    frames = int(os.environ.get("LOAM_BENCH_FRAMES", "8"))
     reps = int(os.environ.get("LOAM_BENCH_REPS", "3"))
     backend = os.environ.get("LOAM_BENCH_BACKEND", "bruteforce")
 
