@@ -110,6 +110,16 @@ def optimize_pose_graph(
     N = initial.translation.shape[0]
     dtype = initial.translation.dtype
     dim = 6 * N
+    initial = Pose3(
+        initial.rotation.astype(dtype), initial.translation.astype(dtype)
+    )
+    edges = edges._replace(
+        measurement=Pose3(
+            edges.measurement.rotation.astype(dtype),
+            edges.measurement.translation.astype(dtype),
+        ),
+        weight=edges.weight.astype(dtype),
+    )
 
     res_fn = lambda xi_i, xi_j, Ti, Tj, z: _edge_residual(xi_i, xi_j, Ti, Tj, z)
     jac_i = jax.jacfwd(res_fn, argnums=0)
