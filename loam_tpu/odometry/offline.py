@@ -25,7 +25,7 @@ from ..features import extract_features
 from ..geometry import Pose3, pose_cumcompose
 from ..params import FeatureExtractionParams, LidarParams, RegistrationParams
 from ..registration import RegistrationDetail
-from ..registration.icf import _register
+from ..registration.icf import _register, azimuth_sort_features
 
 
 @functools.partial(
@@ -49,13 +49,19 @@ def odometry_offline(
     """
     F = scans.shape[0]
     feats = jax.vmap(lambda s: extract_features(s, lidar, feat_params))(scans)
+    # azimuth-sort each frame ONCE (it serves as both source and target of
+    # consecutive pairs) so the kNN chunk culling sees coherent wedges
+    # without any per-pair sorting inside the registration loop
+    feats = jax.vmap(azimuth_sort_features)(feats)
     dtype = feats.edge_points.dtype
 
     src = jax.tree.map(lambda x: x[1:], feats)
     tgt = jax.tree.map(lambda x: x[:-1], feats)
     init = Pose3.identity(dtype, (F - 1,))
     rel, details = jax.vmap(
-        lambda s, t, i: _register(s, t, i, reg_params, with_matches=False)
+        lambda s, t, i: _register(
+            s, t, i, reg_params, with_matches=False, reorder_mode="none"
+        )
     )(src, tgt, init)
     # rel[i] = frame_i_T_frame_{i+1}; prefix-compose into world poses
     world = pose_cumcompose(rel)

@@ -23,7 +23,7 @@ from ..geometry import Pose3, quat_multiply, quat_conjugate
 from ..map import VoxelMap, voxel_map_empty, voxel_map_insert
 from ..params import FeatureExtractionParams, LidarParams, RegistrationParams
 from ..registration import RegistrationDetail
-from ..registration.icf import _register
+from ..registration.icf import _register, azimuth_sort_features
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,12 +106,17 @@ def scan_to_map_step(
     Flow: extract -> register world-frame features against the voxel maps
     (init = constant-velocity prediction) -> keyframe-gated map insert.
     """
-    feats = extract_features(scan, lidar, feat_params)
+    feats = azimuth_sort_features(extract_features(scan, lidar, feat_params))
     dtype = feats.edge_points.dtype
 
     init = state.world_T_current.compose(state.prev_delta)  # const-velocity
     target = _map_feature_set(state.edge_map, state.planar_map)
-    world_T_new, detail = _register(feats, target, init, reg_params, with_matches=False)
+    # the source is pre-sorted above; the voxel map's key-sorted storage is
+    # already spatially coherent, so no reordering inside the registration
+    world_T_new, detail = _register(
+        feats, target, init, reg_params, with_matches=False,
+        reorder_mode="none",
+    )
     # First frame (empty map): registration bails with the init pose; make
     # that the identity start rather than the (identity-composed) prior.
     first = state.frames_since_insert < 0

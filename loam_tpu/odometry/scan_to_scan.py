@@ -22,8 +22,8 @@ import jax.numpy as jnp
 from ..features import FeatureSet, extract_features
 from ..geometry import Pose3
 from ..params import FeatureExtractionParams, LidarParams, RegistrationParams
-from ..registration import RegistrationDetail, register_features
-from ..registration.icf import _register
+from ..registration import RegistrationDetail
+from ..registration.icf import _register, azimuth_sort_features
 
 
 class ScanToScanState(NamedTuple):
@@ -74,12 +74,15 @@ def scan_to_scan_step(
     use_motion_prior: bool = True,
 ) -> Tuple[ScanToScanState, Pose3, RegistrationDetail]:
     """Process one scan; returns (new_state, world_T_current, detail)."""
-    feats = extract_features(scan, lidar, feat_params)
+    feats = azimuth_sort_features(extract_features(scan, lidar, feat_params))
     dtype = feats.edge_points.dtype
     init = state.prev_delta if use_motion_prior else Pose3.identity(dtype)
-    # prev_T_current: current scan is the source, previous scan the target
+    # prev_T_current: current scan is the source, previous scan the target.
+    # Both sides are stored azimuth-sorted (kNN culling coherence), so the
+    # registration itself does no reordering.
     delta, detail = _register(
-        feats, state.prev_features, init, reg_params, with_matches=False
+        feats, state.prev_features, init, reg_params, with_matches=False,
+        reorder_mode="none",
     )
     world = state.world_T_current.compose(delta).normalize()
     return (

@@ -51,6 +51,21 @@ def _angle_from_identity(q: jax.Array) -> jax.Array:
     return 2.0 * jnp.arctan2(jnp.linalg.norm(q[..., 1:], axis=-1), jnp.abs(q[..., 0]))
 
 
+def azimuth_sort_features(fs: FeatureSet) -> FeatureSet:
+    """Return ``fs`` with edge/planar slots azimuth-sorted.
+
+    Sorting once per frame (instead of 4 argsorts per pair inside
+    ``_register``) lets odometry drivers register pre-sorted sets with
+    ``reorder_mode="none"`` — the Pallas kNN chunk culling still sees
+    narrow (~10 deg) coherent wedges, at half the sorting cost. Feature-set
+    semantics are order-invariant; only slot numbering changes (a sorted
+    set's ``*_indices`` still map slots to scan points).
+    """
+    e = _azimuth_perm(fs.edge_points, fs.edge_mask)
+    p = _azimuth_perm(fs.planar_points, fs.planar_mask)
+    return _permute_features(fs, e, p)
+
+
 def _azimuth_perm(points: jax.Array, mask: jax.Array) -> jax.Array:
     """Permutation sorting valid slots by azimuth (invalid slots last).
 
@@ -78,13 +93,18 @@ def _permute_features(fs: FeatureSet, e_perm: jax.Array, p_perm: jax.Array) -> F
     )
 
 
-@functools.partial(jax.jit, static_argnames=("params", "with_matches"))
+@functools.partial(
+    jax.jit, static_argnames=("params", "with_matches", "reorder_mode")
+)
 def _register(
     source: FeatureSet,
     target: FeatureSet,
     init: Pose3,
     params: RegistrationParams,
     with_matches: bool,
+    source_perms=None,
+    target_perms=None,
+    reorder_mode: str = "auto",
 ) -> Tuple[Pose3, RegistrationDetail]:
     dtype = source.edge_points.dtype
     E = source.edge_points.shape[0]
@@ -93,12 +113,17 @@ def _register(
     Em = E if with_matches else 0
     Qm = Q if with_matches else 0
 
-    # Azimuth-sort both feature sets when the Pallas kNN path is active so
-    # its bounding-box chunk culling fires (see _azimuth_perm). Exactness is
+    # Azimuth-coherent ordering of both feature sets when the Pallas kNN
+    # path is active, so its bounding-box chunk culling fires. Exactness is
     # unaffected; detail match indices are mapped back below.
+    # ``reorder_mode``: "auto" = dynamic azimuth argsort (any feature set);
+    # "given" = caller supplies static permutations (e.g. sector_major_perms
+    # for extractor output — zero sorting cost; a None side is left as-is,
+    # the right call for voxel-map targets whose key-sorted storage is
+    # already spatially coherent); "none" = keep order.
     from ..ops.knn_pallas import pallas_supported
 
-    reorder = (
+    pallas_active = (
         pallas_supported()
         and dtype == jnp.float32
         and params.search_backend == "bruteforce"
@@ -106,12 +131,22 @@ def _register(
         and params.max_plane_neighbor_dist > 0
         and os.environ.get("LOAM_DISABLE_PALLAS", "0") != "1"
     )
-    if reorder:
-        se = _azimuth_perm(source.edge_points, source.edge_mask)
-        sp = _azimuth_perm(source.planar_points, source.planar_mask)
-        te = _azimuth_perm(target.edge_points, target.edge_mask)
-        tp = _azimuth_perm(target.planar_points, target.planar_mask)
+    reorder = pallas_active and reorder_mode != "none"
+    reorder_src = reorder and not (reorder_mode == "given" and source_perms is None)
+    reorder_tgt = reorder and not (reorder_mode == "given" and target_perms is None)
+    if reorder_src:
+        if reorder_mode == "given":
+            se, sp = source_perms
+        else:
+            se = _azimuth_perm(source.edge_points, source.edge_mask)
+            sp = _azimuth_perm(source.planar_points, source.planar_mask)
         source = _permute_features(source, se, sp)
+    if reorder_tgt:
+        if reorder_mode == "given":
+            te, tp = target_perms
+        else:
+            te = _azimuth_perm(target.edge_points, target.edge_mask)
+            tp = _azimuth_perm(target.planar_points, target.planar_mask)
         target = _permute_features(target, te, tp)
 
     detail0 = IterationInfo(
@@ -263,17 +298,29 @@ def _register(
     insufficient_end = final.status == TerminationType.INSUFFICIENT_ASSOCIATIONS
     n_rec = jnp.where(insufficient_end, final.i - 1, final.i)
     info = final.detail
-    if reorder and with_matches:
+    if (reorder_src or reorder_tgt) and with_matches:
         # map match arrays back to the caller's slot order: permuted source
         # row i holds original slot s_perm[i]; a permuted target value v
         # denotes original slot t_perm[v].
         def remap(match, s_perm, t_perm):
-            vals = jnp.where(match >= 0, t_perm[jnp.maximum(match, 0)], -1)
+            vals = match
+            if t_perm is not None:
+                vals = jnp.where(match >= 0, t_perm[jnp.maximum(match, 0)], -1)
+            if s_perm is None:
+                return vals
             return jnp.full_like(match, -1).at[:, s_perm].set(vals)
 
         info = info._replace(
-            edge_match=remap(info.edge_match, se, te),
-            plane_match=remap(info.plane_match, sp, tp),
+            edge_match=remap(
+                info.edge_match,
+                se if reorder_src else None,
+                te if reorder_tgt else None,
+            ),
+            plane_match=remap(
+                info.plane_match,
+                sp if reorder_src else None,
+                tp if reorder_tgt else None,
+            ),
         )
     detail = RegistrationDetail(
         iteration_info=info,
