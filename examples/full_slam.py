@@ -1,0 +1,110 @@
+"""Full SLAM pipeline: scan-to-map odometry -> loop closure -> pose graph.
+
+Drives every layer of the framework on a synthetic square loop: streaming
+scan-to-map odometry accumulates keyframes and drift; loop-closure detection
+finds the revisit; the pose-graph solve distributes the correction.
+
+    python examples/full_slam.py [--cpu]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--frames", type=int, default=20, help="keyframes in the loop")
+    ap.add_argument("--radius", type=float, default=2.0)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from loam_tpu import LidarParams, extract_features, scan_to_map_init, scan_to_map_step
+    from loam_tpu.geometry import Pose3
+    from loam_tpu.io import default_world, render_scan
+    from loam_tpu.loop_closure import optimize_trajectory_with_closures
+    from loam_tpu.params import RegistrationParams
+
+    lidar = LidarParams(16, 360, 0.5, 80.0)
+    world = default_world(seed=2)
+
+    # ground-truth circular loop (smooth heading changes the odometry can
+    # track; ends back at the start)
+    positions, yaws = [], []
+    for i in range(args.frames + 1):
+        a = 2 * np.pi * i / args.frames
+        positions.append(
+            np.array([args.radius * np.sin(a), args.radius * (1 - np.cos(a)), 0.0])
+        )
+        yaws.append(a)  # heading tangent to the circle
+    gt = np.stack(positions)
+    scans = np.stack(
+        [
+            render_scan(lidar, p, y, world=world, noise=0.004, seed=i,
+                        dtype=np.float32)
+            for i, (p, y) in enumerate(zip(positions, yaws))
+        ]
+    )
+    n = len(scans)
+
+    # 1) streaming scan-to-map odometry
+    state = scan_to_map_init()
+    # tighter convergence than the reference defaults: each frame stops
+    # below ~1 mm / 0.1 mrad instead of 1 cm, so drift accumulates slowly
+    # prior_weight keeps blind frames (degenerate geometry) anchored to the
+    # constant-velocity prediction instead of sliding along walls
+    reg = RegistrationParams(
+        search_backend="grid",
+        position_convergence_thresh=1e-3,
+        rotation_convergence_thresh=1e-4,
+        prior_weight=300.0,
+    )
+    traj_q, traj_t, feats = [], [], []
+    for f in range(n):
+        state, pose, _ = scan_to_map_step(
+            state, jnp.asarray(scans[f]), lidar, reg_params=reg
+        )
+        traj_q.append(pose.rotation)
+        traj_t.append(pose.translation)
+        feats.append(extract_features(jnp.asarray(scans[f]), lidar))
+    trajectory = Pose3(jnp.stack(traj_q), jnp.stack(traj_t))
+    features = jax.tree.map(lambda *xs: jnp.stack(xs), *feats)
+
+    drift = float(
+        jnp.linalg.norm(trajectory.translation[-1] - trajectory.translation[0])
+    )
+    err_odo = float(
+        jnp.linalg.norm(
+            trajectory.translation - jnp.asarray(gt, jnp.float32), axis=1
+        ).mean()
+    )
+
+    # 2) loop closure + pose graph
+    opt, closures = optimize_trajectory_with_closures(
+        trajectory, features, reg_params=reg,
+        max_candidates=4, min_separation=args.frames // 2, max_distance=2.0,
+    )
+    gap = float(jnp.linalg.norm(opt.translation[-1] - opt.translation[0]))
+    err_opt = float(
+        jnp.linalg.norm(
+            opt.translation - jnp.asarray(gt, jnp.float32), axis=1
+        ).mean()
+    )
+
+    print(f"keyframes: {n}, verified closures: {int(closures.accepted.sum())}")
+    print(f"loop gap  : {drift*100:.2f} cm -> {gap*100:.2f} cm")
+    print(f"mean error: {err_odo*100:.2f} cm -> {err_opt*100:.2f} cm")
+
+
+if __name__ == "__main__":
+    main()

@@ -151,6 +151,15 @@ class RegistrationParams:
     #: If True, actually enforce the line condition-number guard the
     #: reference intended but dead-coded (see ``min_line_condition_number``).
     enforce_line_condition: bool = False
+    #: Quadratic prior pulling the per-iteration delta toward zero (i.e.
+    #: toward the initialization). 0 disables (reference behavior). With
+    #: degenerate geometry (e.g. a single wall in view: no edges, planes
+    #: constraining only one direction) the normal equations are rank
+    #: deficient and an unregularized solve wanders along the unobservable
+    #: directions; a prior of ~1e2-1e3 (units: residual-squared per rad^2 /
+    #: m^2) keeps those components at the motion prior while perturbing
+    #: well-observed solves by <1%.
+    prior_weight: float = 0.0
     #: Neighbor-search backend: "bruteforce" (exact MXU distance matrices,
     #: best for feature-set-sized targets) or "grid" (voxel-hash, best for
     #: map-scale targets; exact up to ``grid_max_per_cell`` occupancy).

@@ -231,7 +231,13 @@ def _register(
         n_plane = jnp.sum(pa.valid, dtype=jnp.int32)
         insufficient = (n_edge + n_plane) < params.min_associations
 
-        problem = _Problem(pts_edge=qe, edge=ea, pts_plane=qp, plane=pa)
+        prior_offset = est.compose(
+            Pose3(init.rotation.astype(dtype), init.translation.astype(dtype)).inverse()
+        )
+        problem = _Problem(
+            pts_edge=qe, edge=ea, pts_plane=qp, plane=pa,
+            prior_offset=prior_offset,
+        )
         delta, _ = lax.cond(
             insufficient,
             lambda p: (Pose3.identity(dtype), jnp.asarray(0.0, dtype)),

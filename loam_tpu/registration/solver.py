@@ -26,7 +26,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..geometry import Pose3, quat_exp, quat_multiply, quat_normalize, quat_rotate
+from ..geometry import (
+    Pose3,
+    quat_exp,
+    quat_log,
+    quat_multiply,
+    quat_normalize,
+    quat_rotate,
+)
 from ..params import RegistrationParams
 from .associate import EdgeAssociations, PlaneAssociations
 
@@ -67,12 +74,20 @@ def _huber_weight(r: jax.Array, delta: float) -> jax.Array:
 
 
 class _Problem(NamedTuple):
-    """Fixed associations for one outer ICF iteration (static shapes)."""
+    """Fixed associations for one outer ICF iteration (static shapes).
+
+    ``prior_offset`` is ``est o init^-1`` — the accumulated deviation from
+    the ICF initialization entering this iteration; the optional quadratic
+    prior penalizes ``delta o prior_offset`` so unobservable directions stay
+    at the INITIALIZATION across outer iterations (a per-iteration prior
+    would let drift accumulate ~max_iterations times).
+    """
 
     pts_edge: jax.Array  # (E, 3) pre-transformed source edge points
     edge: EdgeAssociations
     pts_plane: jax.Array  # (Q, 3)
     plane: PlaneAssociations
+    prior_offset: Pose3 = None
 
 
 def _residuals(problem: _Problem, delta: Pose3):
@@ -89,9 +104,22 @@ def _residuals(problem: _Problem, delta: Pose3):
     return r, grad, q, mask
 
 
-def _cost(problem: _Problem, delta: Pose3, huber_delta: float) -> jax.Array:
+def _prior_xi(problem: _Problem, delta: Pose3) -> jax.Array:
+    total = delta
+    if problem.prior_offset is not None:
+        total = delta.compose(problem.prior_offset)
+    return jnp.concatenate([quat_log(total.rotation), total.translation])
+
+
+def _cost(
+    problem: _Problem, delta: Pose3, huber_delta: float, prior_weight: float = 0.0
+) -> jax.Array:
     r, _, _, mask = _residuals(problem, delta)
-    return jnp.sum(jnp.where(mask, _huber_rho(r, huber_delta), 0.0))
+    cost = jnp.sum(jnp.where(mask, _huber_rho(r, huber_delta), 0.0))
+    if prior_weight > 0:
+        xi = _prior_xi(problem, delta)
+        cost = cost + prior_weight * jnp.sum(xi * xi)
+    return cost
 
 
 def _apply_twist(delta: Pose3, s: jax.Array) -> Pose3:
@@ -119,7 +147,7 @@ def lm_solve(
     dtype = problem.pts_edge.dtype
     delta0 = Pose3.identity(dtype)
     lam0 = jnp.asarray(1e-4, dtype)
-    cost0 = _cost(problem, delta0, params.huber_delta)
+    cost0 = _cost(problem, delta0, params.huber_delta, params.prior_weight)
 
     def body(carry, _):
         delta, lam, cost = carry
@@ -132,11 +160,24 @@ def lm_solve(
         w = jnp.where(mask, _huber_weight(r, params.huber_delta), 0.0)
         H = jnp.einsum("n,ni,nj->ij", w, J, J)
         g = jnp.einsum("n,ni,n->i", w, J, r)
-        # Marquardt scaling + a tiny absolute floor for rank-deficient cases.
-        damp = lam * jnp.diagonal(H) + 1e-10
+        if params.prior_weight > 0:
+            # quadratic prior (delta o prior_offset) ~ 0: keeps unobservable
+            # directions at the ICF initialization (see
+            # RegistrationParams.prior_weight and _Problem.prior_offset)
+            xi = _prior_xi(problem, delta)
+            H = H + params.prior_weight * jnp.eye(6, dtype=dtype)
+            g = g + params.prior_weight * xi
+        # Marquardt scaling + a RELATIVE floor: with degenerate geometry
+        # (e.g. planes from a single wall, no edges) H is rank deficient and
+        # per-diagonal scaling alone leaves null directions undamped — the
+        # solver then wanders meters along the unconstrained directions.
+        # Flooring at 1e-6 of the largest diagonal bounds those steps while
+        # perturbing well-conditioned solves negligibly.
+        diag = jnp.diagonal(H)
+        damp = lam * diag + 1e-6 * jnp.max(diag) + 1e-10
         step = -jnp.linalg.solve(H + jnp.diag(damp), g)
         candidate = _apply_twist(delta, step)
-        new_cost = _cost(problem, candidate, params.huber_delta)
+        new_cost = _cost(problem, candidate, params.huber_delta, params.prior_weight)
         accept = new_cost < cost
         delta = jax.tree.map(lambda n, o: jnp.where(accept, n, o), candidate, delta)
         cost = jnp.where(accept, new_cost, cost)
