@@ -4,8 +4,9 @@ BASELINE config 3: registration targets are fixed-capacity voxel maps of
 accumulated edge/planar features (``loam_tpu.map``) instead of just the
 previous scan — the standard LOAM mapping refinement the reference leaves to
 user code. Uses the grid neighbor-search backend (map targets are much larger
-than a single scan's features), a constant-velocity motion prior, and
-distance/rotation keyframing for map insertion.
+than a single scan's features), a constant-velocity motion prior (also as a
+solver regularizer: ``prior_weight`` keeps degenerate viewpoints anchored to
+the prediction), and distance/rotation keyframing for map insertion.
 """
 
 from __future__ import annotations
@@ -98,7 +99,9 @@ def scan_to_map_step(
     scan: jax.Array,
     lidar: LidarParams,
     feat_params: FeatureExtractionParams = FeatureExtractionParams(),
-    reg_params: RegistrationParams = RegistrationParams(search_backend="grid"),
+    reg_params: RegistrationParams = RegistrationParams(
+        search_backend="grid", prior_weight=300.0
+    ),
     config: ScanToMapConfig = ScanToMapConfig(),
 ) -> Tuple[ScanToMapState, Pose3, RegistrationDetail]:
     """Process one scan against the map; returns (state, world pose, detail).
