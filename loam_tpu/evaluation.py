@@ -9,7 +9,7 @@ and relative pose error over a fixed frame delta.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

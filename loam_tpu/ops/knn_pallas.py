@@ -22,7 +22,7 @@ indices), invalid targets (additive +inf mask) never selected.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

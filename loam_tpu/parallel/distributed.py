@@ -21,7 +21,7 @@ Recipe (scaling-book style):
 
 from __future__ import annotations
 
-import functools
+
 from typing import Optional, Tuple
 
 import jax

@@ -15,7 +15,7 @@ or control-flow-determining on TPU).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+
 
 
 @dataclasses.dataclass(frozen=True)
