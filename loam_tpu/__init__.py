@@ -37,7 +37,8 @@ from .features import (
     extract_features,
     feature_set_from_points,
 )
-from . import checkpoint, evaluation, pose_graph
+from . import checkpoint, evaluation, loop_closure, pose_graph
+from .dewarp import dewarp_scan
 from .map import VoxelMap, voxel_map_empty, voxel_map_insert
 from .neighbors import knn
 from .odometry import (
@@ -78,6 +79,7 @@ __all__ = [
     "scan_to_map_step",
     "scan_to_scan_init",
     "scan_to_scan_step",
+    "dewarp_scan",
     "voxel_map_empty",
     "voxel_map_insert",
     "register_features",

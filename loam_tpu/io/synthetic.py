@@ -119,6 +119,70 @@ def render_scan(
     return out.astype(dtype)
 
 
+def render_scan_swept(
+    lidar: LidarParams,
+    begin_position: np.ndarray,
+    begin_yaw: float,
+    end_position: np.ndarray,
+    end_yaw: float,
+    world: Optional[Sequence[Box]] = None,
+    room: float = 20.0,
+    noise: float = 0.0,
+    seed: int = 0,
+    vertical_fov: Tuple[float, float] = (-0.30, 0.25),
+    dtype=np.float64,
+) -> np.ndarray:
+    """Render a scan from a MOVING sensor (rolling-shutter sweep).
+
+    Column c is ray-cast from the sensor pose linearly interpolated at sweep
+    fraction ``(c + 0.5) / P``.
+
+    Returns (warped, exact): ``warped`` expresses each column's points in
+    that column's own instantaneous sensor frame, naively stacked — what a
+    real spinning LiDAR outputs and what ``dewarp_scan`` consumes;
+    ``exact`` expresses the same ray hits in the END-of-sweep sensor frame —
+    the ground truth dewarping should recover.
+    """
+    if world is None:
+        world = default_world()
+    L, P = lidar.scan_lines, lidar.points_per_line
+    alpha = (np.arange(P) + 0.5) / P
+    pos = begin_position[None, :] * (1 - alpha[:, None]) + end_position[None, :] * alpha[:, None]
+    yaw = begin_yaw * (1 - alpha) + end_yaw * alpha  # (P,)
+
+    elev = np.linspace(vertical_fov[0], vertical_fov[1], L)
+    azim = yaw[None, :] + np.linspace(0.0, 2 * np.pi, P, endpoint=False)[None, :]
+    ce, se = np.cos(elev)[:, None], np.sin(elev)[:, None]
+    ca, sa = np.cos(azim), np.sin(azim)  # (1, P)
+    dirs = np.stack(
+        [ce * ca, ce * sa, np.broadcast_to(se, (L, P))], axis=-1
+    )
+    origins = np.broadcast_to(pos[None, :, :], (L, P, 3))
+
+    t = _ray_room(origins, dirs, room, zlo=-1.0, zhi=4.0)
+    for box in world:
+        t = np.minimum(t, _ray_box(origins, dirs, box))
+    t = np.where(np.isfinite(t), t, lidar.max_range * 2.0)
+    if noise > 0:
+        rng = np.random.default_rng(seed)
+        t = t + rng.normal(0.0, noise, size=t.shape)
+
+    pts_world = origins + t[..., None] * dirs
+
+    def to_frame(position, yaw_arr):
+        rel = pts_world - position
+        c = np.cos(-yaw_arr)
+        s = np.sin(-yaw_arr)
+        x = c * rel[..., 0] - s * rel[..., 1]
+        y = s * rel[..., 0] + c * rel[..., 1]
+        return np.stack([x, y, rel[..., 2]], axis=-1).astype(dtype)
+
+    # warped: column c in its own instantaneous frame (pos/yaw broadcast (P,))
+    warped = to_frame(pos[None, :, :], yaw[None, :])
+    exact = to_frame(np.asarray(end_position)[None, None, :], np.float64(end_yaw))
+    return warped, exact
+
+
 def render_trajectory(
     lidar: LidarParams,
     n_frames: int,

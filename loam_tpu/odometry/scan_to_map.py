@@ -25,6 +25,7 @@ from ..map import VoxelMap, voxel_map_empty, voxel_map_insert
 from ..params import FeatureExtractionParams, LidarParams, RegistrationParams
 from ..registration import RegistrationDetail
 from ..registration.icf import _register, azimuth_sort_features
+from ..dewarp import dewarp_scan
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,7 +93,7 @@ def _map_feature_set(edge_map: VoxelMap, planar_map: VoxelMap) -> FeatureSet:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("lidar", "feat_params", "reg_params", "config"),
+    static_argnames=("lidar", "feat_params", "reg_params", "config", "dewarp"),
 )
 def scan_to_map_step(
     state: ScanToMapState,
@@ -103,12 +104,16 @@ def scan_to_map_step(
         search_backend="grid", prior_weight=300.0
     ),
     config: ScanToMapConfig = ScanToMapConfig(),
+    dewarp: bool = False,
 ) -> Tuple[ScanToMapState, Pose3, RegistrationDetail]:
     """Process one scan against the map; returns (state, world pose, detail).
 
-    Flow: extract -> register world-frame features against the voxel maps
-    (init = constant-velocity prediction) -> keyframe-gated map insert.
+    Flow: [optional dewarp with the constant-velocity motion] -> extract ->
+    register world-frame features against the voxel maps (init = constant-
+    velocity prediction) -> keyframe-gated map insert.
     """
+    if dewarp:
+        scan = dewarp_scan(scan, state.prev_delta, lidar)
     feats = azimuth_sort_features(extract_features(scan, lidar, feat_params))
     dtype = feats.edge_points.dtype
 

@@ -24,6 +24,7 @@ from ..geometry import Pose3
 from ..params import FeatureExtractionParams, LidarParams, RegistrationParams
 from ..registration import RegistrationDetail
 from ..registration.icf import _register, azimuth_sort_features
+from ..dewarp import dewarp_scan
 
 
 class ScanToScanState(NamedTuple):
@@ -63,7 +64,9 @@ def scan_to_scan_init(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("lidar", "feat_params", "reg_params", "use_motion_prior"),
+    static_argnames=(
+        "lidar", "feat_params", "reg_params", "use_motion_prior", "dewarp"
+    ),
 )
 def scan_to_scan_step(
     state: ScanToScanState,
@@ -72,8 +75,15 @@ def scan_to_scan_step(
     feat_params: FeatureExtractionParams = FeatureExtractionParams(),
     reg_params: RegistrationParams = RegistrationParams(),
     use_motion_prior: bool = True,
+    dewarp: bool = False,
 ) -> Tuple[ScanToScanState, Pose3, RegistrationDetail]:
-    """Process one scan; returns (new_state, world_T_current, detail)."""
+    """Process one scan; returns (new_state, world_T_current, detail).
+
+    ``dewarp=True`` motion-compensates the sweep with the previous relative
+    pose (constant-velocity) before extraction.
+    """
+    if dewarp:
+        scan = dewarp_scan(scan, state.prev_delta, lidar)
     feats = azimuth_sort_features(extract_features(scan, lidar, feat_params))
     dtype = feats.edge_points.dtype
     init = state.prev_delta if use_motion_prior else Pose3.identity(dtype)
