@@ -11,6 +11,7 @@ from .native import (
     project_range_image,
     read_kitti_bin,
     read_pcd,
+    write_pcd,
 )
 from .synthetic import Box, default_world, render_scan, render_trajectory
 
@@ -23,5 +24,6 @@ __all__ = [
     "read_kitti_bin",
     "read_pcd",
     "render_scan",
+    "write_pcd",
     "render_trajectory",
 ]

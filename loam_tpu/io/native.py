@@ -74,6 +74,29 @@ def read_kitti_bin(path: str, max_points: int = 1 << 21) -> np.ndarray:
     return raw[:max_points, :3].copy()
 
 
+def write_pcd(path: str, points: np.ndarray) -> None:
+    """Write (N, 3) points as an uncompressed binary PCD (e.g. map export
+    for the tuning viewer or any PCL-compatible tool)."""
+    pts = np.ascontiguousarray(np.asarray(points)[:, :3], np.float32)
+    lib = _load()
+    if lib is not None:
+        rc = lib.loam_write_pcd(
+            path.encode(), pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(pts),
+        )
+        if rc != 0:
+            raise IOError(f"failed to write {path}")
+        return
+    with open(path, "wb") as f:
+        hdr = (
+            "VERSION .7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+            f"WIDTH {len(pts)}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+            f"POINTS {len(pts)}\nDATA binary\n"
+        )
+        f.write(hdr.encode())
+        f.write(pts.tobytes())
+
+
 def read_pcd(path: str, max_points: int = 1 << 21) -> np.ndarray:
     """Read a PCD file (ascii or uncompressed binary) -> (N, 3) float32."""
     lib = _load()

@@ -175,6 +175,21 @@ int loam_read_pcd(const char* path, float* out, int max_points) {
   return n;
 }
 
+// Write points as an uncompressed binary PCD (fields x y z float32).
+// Returns 0 on success, -1 on error.
+int loam_write_pcd(const char* path, const float* pts, int n) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  std::fprintf(f,
+               "VERSION .7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+               "COUNT 1 1 1\nWIDTH %d\nHEIGHT 1\n"
+               "VIEWPOINT 0 0 0 1 0 0 0\nPOINTS %d\nDATA binary\n",
+               n, n);
+  size_t wrote = std::fwrite(pts, sizeof(float) * 3, (size_t)n, f);
+  std::fclose(f);
+  return wrote == (size_t)n ? 0 : -1;
+}
+
 // ---------------------------------------------------------------------------
 // Spherical range-image projection: unordered cloud -> (L, P, 3) grid in the
 // row-major layout the extractor consumes. Cells keep the NEAREST return;

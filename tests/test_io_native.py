@@ -108,3 +108,24 @@ def test_scan_loader_streams_in_order(tmp_path, cloud):
         assert fr.shape == (16, 256, 3)
         ref = native.project_range_image((cloud + i).astype(np.float32), 16, 256)
         np.testing.assert_allclose(fr, ref, atol=1e-6)
+
+
+def test_write_pcd_roundtrip(tmp_path, cloud):
+    p = str(tmp_path / "out.pcd")
+    native.write_pcd(p, cloud[:200])
+    back = native.read_pcd(p)
+    np.testing.assert_allclose(back, cloud[:200], rtol=1e-6)
+
+
+def test_write_pcd_fallback_matches(tmp_path, cloud):
+    p1, p2 = str(tmp_path / "a.pcd"), str(tmp_path / "b.pcd")
+    native.write_pcd(p1, cloud[:100])
+    lib = native._lib
+    try:
+        native._lib = None
+        native._build_failed = True
+        native.write_pcd(p2, cloud[:100])
+    finally:
+        native._lib = lib
+        native._build_failed = False
+    assert open(p1, "rb").read() == open(p2, "rb").read()
