@@ -135,3 +135,32 @@ def test_masked_edges_ignored():
     np.testing.assert_allclose(
         np.asarray(a.translation), np.asarray(b.translation), atol=1e-9
     )
+
+
+def test_sharded_solve_matches_single():
+    """Edge-sharded (psum-reduced) solve equals the single-device solve."""
+    from loam_tpu.parallel import make_mesh
+    from loam_tpu.pose_graph import optimize_pose_graph_sharded
+
+    gt = _make_square_trajectory()
+    edges = _perturb_edges(odometry_edges(gt), 0.002, 0.01, seed=5)
+    E = edges.i.shape[0]
+    pad = (-E) % 8
+    if pad:
+        edges = PoseGraphEdges(
+            i=jnp.concatenate([edges.i, jnp.zeros(pad, jnp.int32)]),
+            j=jnp.concatenate([edges.j, jnp.ones(pad, jnp.int32)]),
+            measurement=jax.tree.map(
+                lambda x: jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])]),
+                edges.measurement,
+            ),
+            weight=jnp.concatenate([edges.weight, jnp.zeros(pad)]),
+            mask=jnp.concatenate([edges.mask, jnp.zeros(pad, bool)]),
+        )
+    single, cost1 = optimize_pose_graph(gt, edges, iterations=5)
+    mesh = make_mesh(line_axis=1)
+    sharded, cost2 = optimize_pose_graph_sharded(gt, edges, mesh, iterations=5)
+    np.testing.assert_allclose(
+        np.asarray(sharded.translation), np.asarray(single.translation), atol=1e-8
+    )
+    np.testing.assert_allclose(float(cost1), float(cost2), rtol=1e-6, atol=1e-20)
