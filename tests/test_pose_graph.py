@@ -142,7 +142,7 @@ def test_sharded_solve_matches_single():
     from loam_tpu.parallel import make_mesh
     from loam_tpu.pose_graph import optimize_pose_graph_sharded
 
-    gt = _make_square_trajectory()
+    gt = _make_square_trajectory(n_per_side=2)
     edges = _perturb_edges(odometry_edges(gt), 0.002, 0.01, seed=5)
     E = edges.i.shape[0]
     pad = (-E) % 8
@@ -157,9 +157,9 @@ def test_sharded_solve_matches_single():
             weight=jnp.concatenate([edges.weight, jnp.zeros(pad)]),
             mask=jnp.concatenate([edges.mask, jnp.zeros(pad, bool)]),
         )
-    single, cost1 = optimize_pose_graph(gt, edges, iterations=5)
+    single, cost1 = optimize_pose_graph(gt, edges, iterations=3)
     mesh = make_mesh(line_axis=1)
-    sharded, cost2 = optimize_pose_graph_sharded(gt, edges, mesh, iterations=5)
+    sharded, cost2 = optimize_pose_graph_sharded(gt, edges, mesh, iterations=3)
     np.testing.assert_allclose(
         np.asarray(sharded.translation), np.asarray(single.translation), atol=1e-8
     )
