@@ -19,22 +19,19 @@ compile helper on this image ("TPU device error"); 6-10 frames are reliable.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 
-def main():
+def _run_bench(frames: int, reps: int, backend: str) -> float:
     import jax
     import jax.numpy as jnp
 
     from loam_tpu import LidarParams, odometry_offline
     from loam_tpu.params import FeatureExtractionParams, RegistrationParams
     from loam_tpu.io import render_trajectory
-
-    frames = int(os.environ.get("LOAM_BENCH_FRAMES", "10"))
-    reps = int(os.environ.get("LOAM_BENCH_REPS", "3"))
-    backend = os.environ.get("LOAM_BENCH_BACKEND", "bruteforce")
 
     lidar = LidarParams(64, 1024, 0.5, 120.0)
     feat_params = FeatureExtractionParams()
@@ -64,7 +61,21 @@ def main():
         run()
     elapsed = time.perf_counter() - t0
 
-    scans_per_sec = frames * reps / elapsed
+    return frames * reps / elapsed
+
+
+def main():
+    frames = int(os.environ.get("LOAM_BENCH_FRAMES", "10"))
+    reps = int(os.environ.get("LOAM_BENCH_REPS", "3"))
+    backend = os.environ.get("LOAM_BENCH_BACKEND", "bruteforce")
+
+    try:
+        scans_per_sec = _run_bench(frames, reps, backend)
+    except Exception as e:  # transient remote-compile/device aborts: retry small
+        print(f"# bench at {frames} frames failed ({type(e).__name__}); "
+              f"retrying at 6", file=sys.stderr)
+        scans_per_sec = _run_bench(6, reps, backend)
+
     baseline = 1000.0 / 16.5  # reference: 3.5 ms extract + 13 ms register
     print(
         json.dumps(
