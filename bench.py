@@ -9,12 +9,16 @@ scans/s.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs:
-  LOAM_BENCH_FRAMES  (default 10)   frames per timed batch
+  LOAM_BENCH_FRAMES  (default 64)  frames per timed batch
   LOAM_BENCH_REPS    (default 3)   timed repetitions
+  LOAM_BENCH_CHUNK   (default 8)   registration pairs per lockstep chunk
   LOAM_BENCH_BACKEND (default "bruteforce") neighbor search backend
 
-NOTE: very large frame counts have intermittently tripped the remote-TPU
-compile helper on this image ("TPU device error"); 6-10 frames are reliable.
+The pair axis is processed in ``lax.map`` chunks (``chunk_pairs``), so the
+compiled program size is constant in the frame count — large frame batches
+amortize the ~30 ms remote-dispatch latency without tripping the remote
+compile helper the way fully-unrolled >=14-frame programs did. On failure the
+bench halves the frame count and retries.
 """
 
 import json
@@ -25,7 +29,7 @@ import time
 import numpy as np
 
 
-def _run_bench(frames: int, reps: int, backend: str) -> float:
+def _run_bench(frames: int, reps: int, backend: str, chunk: int) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +53,9 @@ def _run_bench(frames: int, reps: int, backend: str) -> float:
     scans = jnp.asarray(scans)
 
     def run():
-        traj, details = odometry_offline(scans, lidar, feat_params, reg_params)
+        traj, details = odometry_offline(
+            scans, lidar, feat_params, reg_params, chunk_pairs=chunk
+        )
         jax.block_until_ready(traj)
         return traj
 
@@ -65,16 +71,22 @@ def _run_bench(frames: int, reps: int, backend: str) -> float:
 
 
 def main():
-    frames = int(os.environ.get("LOAM_BENCH_FRAMES", "10"))
+    frames = int(os.environ.get("LOAM_BENCH_FRAMES", "64"))
     reps = int(os.environ.get("LOAM_BENCH_REPS", "3"))
+    chunk = int(os.environ.get("LOAM_BENCH_CHUNK", "8"))
     backend = os.environ.get("LOAM_BENCH_BACKEND", "bruteforce")
 
-    try:
-        scans_per_sec = _run_bench(frames, reps, backend)
-    except Exception as e:  # transient remote-compile/device aborts: retry small
-        print(f"# bench at {frames} frames failed ({type(e).__name__}); "
-              f"retrying at 6", file=sys.stderr)
-        scans_per_sec = _run_bench(6, reps, backend)
+    scans_per_sec = None
+    while True:
+        try:
+            scans_per_sec = _run_bench(frames, reps, backend, chunk)
+            break
+        except Exception as e:  # transient remote-compile/device aborts
+            if frames <= 6:
+                raise
+            frames = max(6, frames // 2)
+            print(f"# bench failed ({type(e).__name__}); retrying at "
+                  f"{frames} frames", file=sys.stderr)
 
     baseline = 1000.0 / 16.5  # reference: 3.5 ms extract + 13 ms register
     print(

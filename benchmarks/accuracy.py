@@ -43,7 +43,7 @@ def main():
         scan_to_scan_init,
         scan_to_scan_step,
     )
-    from loam_tpu.evaluation import ate_rmse, rpe_rmse
+    from loam_tpu.evaluation import ate_rmse, rpe
     from loam_tpu.io import render_trajectory
 
     lidar = LidarParams(args.scan_lines, args.points_per_line, 0.5, 80.0)
@@ -57,10 +57,12 @@ def main():
         dtype=np.float32,
     )
     gt = np.stack([t for (_, t) in poses])
+    gt_rot = np.stack([R for (R, _) in poses])
     path_len = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
 
-    def report(name, est, dt):
+    def report(name, est, est_rot, dt):
         ate = ate_rmse(est, gt, align=False)
+        rpe_t, rpe_r = rpe(est, gt, est_rot, gt_rot)
         print(
             json.dumps(
                 {
@@ -70,7 +72,8 @@ def main():
                     "frames": args.frames,
                     "path_m": round(path_len, 2),
                     "ate_pct_of_path": round(100 * ate / path_len, 3),
-                    "rpe_cm": round(rpe_rmse(est, gt) * 100, 3),
+                    "rpe_trans_cm": round(rpe_t * 100, 3),
+                    "rpe_rot_mrad": round(rpe_r * 1000, 3),
                     "scans_per_sec": round(args.frames / dt, 2),
                 }
             )
@@ -78,24 +81,26 @@ def main():
 
     # scan-to-scan (motion prior)
     state = scan_to_scan_init(lidar)
-    est = []
+    est, est_rot = [], []
     t0 = time.perf_counter()
     for f in range(args.frames):
         state, pose, _ = scan_to_scan_step(state, jnp.asarray(scans[f]), lidar)
         est.append(np.asarray(pose.translation))
-    report("scan_to_scan", np.stack(est), time.perf_counter() - t0)
+        est_rot.append(np.asarray(pose.rotation))
+    report("scan_to_scan", np.stack(est), np.stack(est_rot), time.perf_counter() - t0)
 
     # scan-to-map (voxel map + keyframing)
     mstate = scan_to_map_init()
     reg = RegistrationParams(search_backend="grid")
-    est = []
+    est, est_rot = [], []
     t0 = time.perf_counter()
     for f in range(args.frames):
         mstate, pose, _ = scan_to_map_step(
             mstate, jnp.asarray(scans[f]), lidar, reg_params=reg
         )
         est.append(np.asarray(pose.translation))
-    report("scan_to_map", np.stack(est), time.perf_counter() - t0)
+        est_rot.append(np.asarray(pose.rotation))
+    report("scan_to_map", np.stack(est), np.stack(est_rot), time.perf_counter() - t0)
 
 
 if __name__ == "__main__":

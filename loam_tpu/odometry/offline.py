@@ -20,6 +20,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..features import extract_features
 from ..geometry import Pose3, pose_cumcompose
@@ -29,18 +30,25 @@ from ..registration.icf import _register, azimuth_sort_features
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lidar", "feat_params", "reg_params")
+    jax.jit, static_argnames=("lidar", "feat_params", "reg_params", "chunk_pairs")
 )
 def odometry_offline(
     scans: jax.Array,
     lidar: LidarParams,
     feat_params: FeatureExtractionParams = FeatureExtractionParams(),
     reg_params: RegistrationParams = RegistrationParams(),
+    chunk_pairs: int = 8,
 ) -> Tuple[Pose3, RegistrationDetail]:
     """Whole-trajectory scan-to-scan odometry in one compiled program.
 
     Args:
       scans: (F, L, P, 3) or (F, L*P, 3) stacked scans.
+      chunk_pairs: pairs registered per lockstep batch. Pairs are split into
+        ``ceil((F-1)/chunk_pairs)`` chunks driven by ``lax.map``, so the
+        compiled program size is constant in F (one chunk's registration
+        graph) while arbitrarily long trajectories run in ONE dispatch —
+        essential on remote-attached chips where each dispatch costs ~30 ms.
+        ``chunk_pairs <= 0`` restores the fully-unrolled single-vmap form.
 
     Returns:
       (trajectory, details): ``trajectory`` is a Pose3 with (F, ...) leaves —
@@ -57,12 +65,37 @@ def odometry_offline(
 
     src = jax.tree.map(lambda x: x[1:], feats)
     tgt = jax.tree.map(lambda x: x[:-1], feats)
-    init = Pose3.identity(dtype, (F - 1,))
-    rel, details = jax.vmap(
-        lambda s, t, i: _register(
-            s, t, i, reg_params, with_matches=False, reorder_mode="none"
+    n_pairs = F - 1
+
+    def reg_batch(s, t, i):
+        return jax.vmap(
+            lambda s_, t_, i_: _register(
+                s_, t_, i_, reg_params, with_matches=False, reorder_mode="none"
+            )
+        )(s, t, i)
+
+    if chunk_pairs <= 0 or n_pairs <= chunk_pairs:
+        init = Pose3.identity(dtype, (n_pairs,))
+        rel, details = reg_batch(src, tgt, init)
+    else:
+        C = chunk_pairs
+        nc = -(-n_pairs // C)
+        pad = nc * C - n_pairs
+        # pad with copies of pair 0 (cheap, always registrable); padded
+        # results are sliced away below
+        def pad_chunk(x):
+            x = jnp.concatenate([x, jnp.repeat(x[:1], pad, axis=0)], axis=0)
+            return x.reshape((nc, C) + x.shape[1:])
+
+        src_c = jax.tree.map(pad_chunk, src)
+        tgt_c = jax.tree.map(pad_chunk, tgt)
+        init_c = Pose3.identity(dtype, (nc, C))
+        rel_c, det_c = lax.map(
+            lambda args: reg_batch(*args), (src_c, tgt_c, init_c)
         )
-    )(src, tgt, init)
+        unchunk = lambda x: x.reshape((nc * C,) + x.shape[2:])[:n_pairs]
+        rel = jax.tree.map(unchunk, rel_c)
+        details = jax.tree.map(unchunk, det_c)
     # rel[i] = frame_i_T_frame_{i+1}; prefix-compose into world poses
     world = pose_cumcompose(rel)
     trajectory = Pose3(

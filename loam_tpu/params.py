@@ -128,7 +128,13 @@ class RegistrationParams:
     #: Minimum neighbors required to fit a plane.
     min_plane_fit_points: int = 4
     #: Maximum average (signed, matching reference ``geometry.cpp:71``)
-    #: point-to-plane distance for a valid plane fit.
+    #: point-to-plane distance for a valid plane fit.  NOTE: structurally
+    #: inert in this implementation — the PCA plane fit's signed mean
+    #: residual is exactly 0 by construction (``geometry.fit_plane``), so
+    #: this guard can never fire at any threshold >= 0.  The reference's own
+    #: guard compares the signed mean of a least-squares fit, which hovers
+    #: at ~0 and almost never fires either (SURVEY §2.3(2)); behavior pinned
+    #: in ``tests/test_registration.py::test_plane_avg_dist_guard_is_inert``.
     max_avg_point_plane_dist: float = 0.1
 
     #: Maximum outer ICF iterations.

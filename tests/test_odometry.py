@@ -20,7 +20,7 @@ from loam_tpu import (
     scan_to_scan_init,
     scan_to_scan_step,
 )
-from loam_tpu.evaluation import ate_rmse, rpe_rmse, umeyama_alignment
+from loam_tpu.evaluation import ate_rmse, rpe, rpe_rmse, umeyama_alignment
 from loam_tpu.io import render_trajectory
 
 LIDAR = LidarParams(16, 360, 0.5, 80.0)
@@ -91,6 +91,26 @@ def test_offline_matches_streaming(trajectory):
     np.testing.assert_allclose(est, np.stack(stream), atol=1e-4)
 
 
+def test_offline_chunked_matches_unchunked(trajectory):
+    # lax.map-chunked pair batches (constant program size in F) must produce
+    # exactly the same registrations as the single fully-vmapped batch
+    scans, _ = trajectory
+    traj_a, det_a = odometry_offline(jnp.asarray(scans), LIDAR, chunk_pairs=2)
+    traj_b, det_b = odometry_offline(jnp.asarray(scans), LIDAR, chunk_pairs=0)
+    np.testing.assert_array_equal(
+        np.asarray(traj_a.translation), np.asarray(traj_b.translation)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(traj_a.rotation), np.asarray(traj_b.rotation)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(det_a.termination), np.asarray(det_b.termination)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(det_a.num_iterations), np.asarray(det_b.num_iterations)
+    )
+
+
 def test_umeyama_recovers_known_transform():
     rng = np.random.default_rng(0)
     pts = rng.normal(size=(40, 3))
@@ -105,3 +125,35 @@ def test_umeyama_recovers_known_transform():
     np.testing.assert_allclose(t2, t, atol=1e-9)
     assert ate_rmse(pts, moved, align=True) < 1e-9
     assert rpe_rmse(moved, moved) == 0.0
+
+
+def test_rpe_matches_hand_computed():
+    # Two-pose trajectories. Reference: identity -> +x 1m, no rotation.
+    # Estimate: identity -> translation (1, 0.3, 0) with a 0.1 rad yaw.
+    def rotz(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+    ref_R = np.stack([np.eye(3), np.eye(3)])
+    ref_t = np.array([[0.0, 0, 0], [1.0, 0, 0]])
+    est_R = np.stack([np.eye(3), rotz(0.1)])
+    est_t = np.array([[0.0, 0, 0], [1.0, 0.3, 0]])
+    t_err, r_err = rpe(est_t, ref_t, est_R, ref_R, delta=1)
+    # E = (rotz(0.1), (1, 0.3, 0)); G = (I, (1,0,0));
+    # F = G^-1 E = (rotz(0.1), (0, 0.3, 0)) -> trans 0.3, rot 0.1
+    np.testing.assert_allclose(t_err, 0.3, atol=1e-12)
+    np.testing.assert_allclose(r_err, 0.1, atol=1e-12)
+
+    # quaternion (wxyz) input path must agree with the matrix path
+    a = 0.1
+    est_q = np.array([[1.0, 0, 0, 0], [np.cos(a / 2), 0, 0, np.sin(a / 2)]])
+    ref_q = np.array([[1.0, 0, 0, 0], [1.0, 0, 0, 0]])
+    t2, r2 = rpe(est_t, ref_t, est_q, ref_q, delta=1)
+    np.testing.assert_allclose([t2, r2], [t_err, r_err], atol=1e-12)
+
+    # rotation drift is invisible to positions but not to rpe()
+    est_same_pos = np.array([[0.0, 0, 0], [1.0, 0, 0]])
+    t3, r3 = rpe(est_same_pos, ref_t, est_R, ref_R, delta=1)
+    assert t3 == 0.0 and abs(r3 - 0.1) < 1e-12
+    # position-only fallback: vector difference of relative translations
+    assert abs(rpe_rmse(est_t, ref_t) - 0.3) < 1e-12

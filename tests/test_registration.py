@@ -200,3 +200,31 @@ def test_batched_matches_single():
         np.testing.assert_allclose(
             np.asarray(batched.rotation[i]), np.asarray(single.rotation), atol=1e-9
         )
+
+
+def test_plane_avg_dist_guard_is_inert():
+    # ``max_avg_point_plane_dist`` guards on the SIGNED mean residual
+    # (reference ``geometry.cpp:71`` + ``registration.cpp:90``). Under the
+    # PCA fit that mean is exactly 0 by construction, so the guard can never
+    # fire at any threshold >= 0 — pinned here (see params.py note).
+    import jax
+    from loam_tpu.geometry import fit_plane
+    from loam_tpu.registration.associate import associate_planes
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(16, 5, 3))  # noisy, decidedly non-planar
+    normal, d, avg_dist = fit_plane(
+        jnp.asarray(pts), jnp.ones((16, 5), bool)
+    )
+    np.testing.assert_array_equal(np.asarray(avg_dist), 0.0)
+
+    _, planar = simple_scene()
+    noisy = planar + rng.normal(scale=0.05, size=planar.shape)
+    q = jnp.asarray(noisy)
+    qm = jnp.ones((q.shape[0],), bool)
+    base = associate_planes(q, qm, q, qm, RegistrationParams())
+    tight = associate_planes(
+        q, qm, q, qm, RegistrationParams(max_avg_point_plane_dist=0.0)
+    )
+    np.testing.assert_array_equal(np.asarray(base.valid), np.asarray(tight.valid))
+    assert bool(np.asarray(base.valid).any())
