@@ -29,7 +29,9 @@ import time
 import numpy as np
 
 
-def _run_bench(frames: int, reps: int, backend: str, chunk: int) -> float:
+def _run_bench(
+    frames: int, reps: int, backend: str, chunk: int, motion_init: bool
+) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -54,7 +56,8 @@ def _run_bench(frames: int, reps: int, backend: str, chunk: int) -> float:
 
     def run():
         traj, details = odometry_offline(
-            scans, lidar, feat_params, reg_params, chunk_pairs=chunk
+            scans, lidar, feat_params, reg_params, chunk_pairs=chunk,
+            motion_init=motion_init,
         )
         jax.block_until_ready(traj)
         return traj
@@ -75,11 +78,12 @@ def main():
     reps = int(os.environ.get("LOAM_BENCH_REPS", "3"))
     chunk = int(os.environ.get("LOAM_BENCH_CHUNK", "8"))
     backend = os.environ.get("LOAM_BENCH_BACKEND", "bruteforce")
+    motion_init = os.environ.get("LOAM_BENCH_MOTION_INIT", "1") != "0"
 
     scans_per_sec = None
     while True:
         try:
-            scans_per_sec = _run_bench(frames, reps, backend, chunk)
+            scans_per_sec = _run_bench(frames, reps, backend, chunk, motion_init)
             break
         except Exception as e:  # transient remote-compile/device aborts
             if frames <= 6:

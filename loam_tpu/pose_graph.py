@@ -209,19 +209,16 @@ def optimize_pose_graph_sharded(
     """Distributed pose-graph solve: edges sharded over the mesh.
 
     Each device assembles the normal-equation contributions of its edge
-    shard; the 6N x 6N system is ``psum``-reduced over ICI and solved
-    replicated (SURVEY §2.2: distributed Gauss-Newton with psum-reduced
-    normal equations). Results match the single-device solver up to
-    floating-point reduction order. Edge capacity must divide the axis size
-    (pad with masked edges).
+    shard under ``jax.shard_map``; the 6N x 6N system is ``psum``-reduced
+    over ICI — which also makes it VMA-replicated, so the modern shard_map
+    type checker accepts it — and the LM accept/reject loop runs replicated
+    at the jit level (SURVEY §2.2: distributed Gauss-Newton with
+    psum-reduced normal equations). Results match the single-device solver
+    up to floating-point reduction order. Edge capacity must divide the
+    axis size (pad with masked edges).
     """
-    import warnings as _warnings
-
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
-
-    with _warnings.catch_warnings():
-        _warnings.simplefilter("ignore", DeprecationWarning)
-        from jax.experimental.shard_map import shard_map
 
     N = initial.translation.shape[0]
     dtype = initial.translation.dtype
@@ -243,99 +240,101 @@ def optimize_pose_graph_sharded(
     zero6 = jnp.zeros((6,), dtype)
     gauge = jnp.zeros((dim,), dtype).at[:6].set(1e12)
 
-    def impl(q0, t0, ei, ej, mq, mt, w, m):
+    def assemble_local(q0, t0, ei, ej, mq, mt, w, m):
+        # runs per edge shard inside shard_map; psum makes the outputs
+        # replicated (both semantically and in the VMA type system)
         e = PoseGraphEdges(ei, ej, Pose3(mq, mt), w, m)
-
-        def assemble(poses):
-            Ti = jax.tree.map(lambda x: x[e.i], poses)
-            Tj = jax.tree.map(lambda x: x[e.j], poses)
-            r = jax.vmap(res_fn, in_axes=(None, None, 0, 0, 0))(
-                zero6, zero6, Ti, Tj, e.measurement
-            )
-            Ji = jax.vmap(jac_i, in_axes=(None, None, 0, 0, 0))(
-                zero6, zero6, Ti, Tj, e.measurement
-            )
-            Jj = jax.vmap(jac_j, in_axes=(None, None, 0, 0, 0))(
-                zero6, zero6, Ti, Tj, e.measurement
-            )
-            wm = jnp.where(e.mask, e.weight, 0.0)
-            H = jnp.zeros((dim, dim), dtype)
-            b = jnp.zeros((dim,), dtype)
-            wj = wm[:, None, None]
-            Hii = wj * jnp.einsum("eri,erj->eij", Ji, Ji)
-            Hjj = wj * jnp.einsum("eri,erj->eij", Jj, Jj)
-            Hij = wj * jnp.einsum("eri,erj->eij", Ji, Jj)
-            bi = wm[:, None] * jnp.einsum("eri,er->ei", Ji, r)
-            bj = wm[:, None] * jnp.einsum("eri,er->ei", Jj, r)
-            oi = (6 * e.i)[:, None] + jnp.arange(6)[None, :]
-            oj = (6 * e.j)[:, None] + jnp.arange(6)[None, :]
-            H = H.at[oi[:, :, None], oi[:, None, :]].add(Hii)
-            H = H.at[oj[:, :, None], oj[:, None, :]].add(Hjj)
-            H = H.at[oi[:, :, None], oj[:, None, :]].add(Hij)
-            H = H.at[oj[:, :, None], oi[:, None, :]].add(
-                jnp.swapaxes(Hij, -1, -2)
-            )
-            b = b.at[oi].add(bi)
-            b = b.at[oj].add(bj)
-            cost = jnp.sum(wm * jnp.sum(r * r, axis=-1))
-            # the collective: reduce partial normal equations over the mesh
-            return (
-                lax.psum(H, axis),
-                lax.psum(b, axis),
-                lax.psum(cost, axis),
-            )
-
-        def apply_update(poses, dx):
-            xi = dx.reshape(N, 6).at[0].set(0.0)
-            dq = quat_exp(xi[:, :3])
-            return Pose3(
-                quat_normalize(quat_multiply(dq, poses.rotation)),
-                quat_rotate(dq, poses.translation) + xi[:, 3:],
-            )
-
-        def body(carry, _):
-            poses, lam, cost = carry
-            H, b, _ = assemble(poses)
-            damp = lam * jnp.diagonal(H) + 1e-8
-            L = jnp.linalg.cholesky(H + jnp.diag(damp + gauge))
-            dx = -jax.scipy.linalg.cho_solve((L, True), b)
-            candidate = apply_update(poses, dx)
-            _, _, new_cost = assemble(candidate)
-            accept = new_cost < cost
-            poses = jax.tree.map(
-                lambda n_, o: jnp.where(accept, n_, o), candidate, poses
-            )
-            cost = jnp.where(accept, new_cost, cost)
-            lam = jnp.where(
-                accept, jnp.maximum(lam / 3.0, 1e-12), jnp.minimum(lam * 4.0, 1e8)
-            )
-            return (poses, lam, cost), None
-
-        poses0 = Pose3(q0, t0)
-        _, _, cost0 = assemble(poses0)
-        (poses, _, cost), _ = lax.scan(
-            body, (poses0, jnp.asarray(1e-6, dtype), cost0), None,
-            length=iterations,
+        poses = Pose3(q0, t0)
+        Ti = jax.tree.map(lambda x: x[e.i], poses)
+        Tj = jax.tree.map(lambda x: x[e.j], poses)
+        r = jax.vmap(res_fn, in_axes=(None, None, 0, 0, 0))(
+            zero6, zero6, Ti, Tj, e.measurement
         )
-        return poses.rotation, poses.translation, cost
+        Ji = jax.vmap(jac_i, in_axes=(None, None, 0, 0, 0))(
+            zero6, zero6, Ti, Tj, e.measurement
+        )
+        Jj = jax.vmap(jac_j, in_axes=(None, None, 0, 0, 0))(
+            zero6, zero6, Ti, Tj, e.measurement
+        )
+        wm = jnp.where(e.mask, e.weight, 0.0)
+        H = jnp.zeros((dim, dim), dtype)
+        b = jnp.zeros((dim,), dtype)
+        wj = wm[:, None, None]
+        Hii = wj * jnp.einsum("eri,erj->eij", Ji, Ji)
+        Hjj = wj * jnp.einsum("eri,erj->eij", Jj, Jj)
+        Hij = wj * jnp.einsum("eri,erj->eij", Ji, Jj)
+        bi = wm[:, None] * jnp.einsum("eri,er->ei", Ji, r)
+        bj = wm[:, None] * jnp.einsum("eri,er->ei", Jj, r)
+        oi = (6 * e.i)[:, None] + jnp.arange(6)[None, :]
+        oj = (6 * e.j)[:, None] + jnp.arange(6)[None, :]
+        H = H.at[oi[:, :, None], oi[:, None, :]].add(Hii)
+        H = H.at[oj[:, :, None], oj[:, None, :]].add(Hjj)
+        H = H.at[oi[:, :, None], oj[:, None, :]].add(Hij)
+        H = H.at[oj[:, :, None], oi[:, None, :]].add(
+            jnp.swapaxes(Hij, -1, -2)
+        )
+        b = b.at[oi].add(bi)
+        b = b.at[oj].add(bj)
+        cost = jnp.sum(wm * jnp.sum(r * r, axis=-1))
+        # the collective: reduce partial normal equations over the mesh
+        return (
+            lax.psum(H, axis),
+            lax.psum(b, axis),
+            lax.psum(cost, axis),
+        )
 
     rep = P()
     sh = P(axis)
-    f = shard_map(
-        impl,
+    assemble_sh = shard_map(
+        assemble_local,
         mesh=mesh,
         in_specs=(rep, rep, sh, sh, sh, sh, sh, sh),
         out_specs=(rep, rep, rep),
-        check_rep=False,
     )
-    q, t, cost = f(
-        initial.rotation,
-        initial.translation,
-        edges.i,
-        edges.j,
-        edges.measurement.rotation,
-        edges.measurement.translation,
-        edges.weight,
-        edges.mask,
+
+    def assemble(poses):
+        return assemble_sh(
+            poses.rotation,
+            poses.translation,
+            edges.i,
+            edges.j,
+            edges.measurement.rotation,
+            edges.measurement.translation,
+            edges.weight,
+            edges.mask,
+        )
+
+    def apply_update(poses, dx):
+        xi = dx.reshape(N, 6).at[0].set(0.0)
+        dq = quat_exp(xi[:, :3])
+        return Pose3(
+            quat_normalize(quat_multiply(dq, poses.rotation)),
+            quat_rotate(dq, poses.translation) + xi[:, 3:],
+        )
+
+    # replicated LM accept/reject loop at the jit level; only assembly is
+    # collective
+    def body(carry, _):
+        poses, lam, cost = carry
+        H, b, _ = assemble(poses)
+        damp = lam * jnp.diagonal(H) + 1e-8
+        L = jnp.linalg.cholesky(H + jnp.diag(damp + gauge))
+        dx = -jax.scipy.linalg.cho_solve((L, True), b)
+        candidate = apply_update(poses, dx)
+        _, _, new_cost = assemble(candidate)
+        accept = new_cost < cost
+        poses = jax.tree.map(
+            lambda n_, o: jnp.where(accept, n_, o), candidate, poses
+        )
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(
+            accept, jnp.maximum(lam / 3.0, 1e-12), jnp.minimum(lam * 4.0, 1e8)
+        )
+        return (poses, lam, cost), None
+
+    _, _, cost0 = assemble(initial)
+    (poses, _, cost), _ = lax.scan(
+        body, (initial, jnp.asarray(1e-6, dtype), cost0), None,
+        length=iterations,
     )
-    return Pose3(q, t), cost
+    return poses, cost

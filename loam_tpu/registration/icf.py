@@ -106,6 +106,31 @@ def _register(
     target_perms=None,
     reorder_mode: str = "auto",
 ) -> Tuple[Pose3, RegistrationDetail]:
+    return _register_impl(
+        source, target, init, params, with_matches, source_perms,
+        target_perms, reorder_mode,
+    )
+
+
+def _register_impl(
+    source: FeatureSet,
+    target: FeatureSet,
+    init: Pose3,
+    params: RegistrationParams,
+    with_matches: bool,
+    source_perms=None,
+    target_perms=None,
+    reorder_mode: str = "auto",
+    custom_knn=None,
+) -> Tuple[Pose3, RegistrationDetail]:
+    """Unjitted registration body.
+
+    ``custom_knn``: optional ``(edge_fn, plane_fn)`` where each callable maps
+    transformed query points ``(Q, 3)`` to ``(KnnResult, neighbor_pts)`` —
+    the hook the distributed layer uses to swap in the sharded-target search
+    (``parallel.distributed``) while keeping the full loop + detail
+    machinery.
+    """
     dtype = source.edge_points.dtype
     E = source.edge_points.shape[0]
     Q = source.planar_points.shape[0]
@@ -171,11 +196,14 @@ def _register(
     # ``grid_max_per_cell`` voxel occupancy and turns each per-iteration
     # search into two binary searches + one gather per (query, cell).
     use_grid = (
-        params.search_backend == "grid"
+        custom_knn is None
+        and params.search_backend == "grid"
         and params.max_edge_neighbor_dist > 0
         and params.max_plane_neighbor_dist > 0
     )
-    if use_grid:
+    if custom_knn is not None:
+        edge_knn, plane_knn = custom_knn
+    elif use_grid:
         edge_grid = build_grid(
             target.edge_points, target.edge_mask, params.max_edge_neighbor_dist
         )
@@ -184,22 +212,24 @@ def _register(
         )
 
         def edge_knn(q):
-            return knn_grid(
+            res = knn_grid(
                 edge_grid,
                 q,
                 params.num_edge_neighbors,
                 params.max_edge_neighbor_dist,
                 params.grid_max_per_cell,
             )[0]
+            return res, None
 
         def plane_knn(q):
-            return knn_grid(
+            res = knn_grid(
                 plane_grid,
                 q,
                 params.num_plane_neighbors,
                 params.max_plane_neighbor_dist,
                 params.grid_max_per_cell,
             )[0]
+            return res, None
 
     else:
         edge_knn = plane_knn = None
@@ -211,13 +241,16 @@ def _register(
         est = state.est
         qe = est.act(source.edge_points)
         qp = est.act(source.planar_points)
+        e_res, e_nbr = edge_knn(qe) if edge_knn is not None else (None, None)
+        p_res, p_nbr = plane_knn(qp) if plane_knn is not None else (None, None)
         ea = associate_edges(
             qe,
             source.edge_mask,
             target.edge_points,
             target.edge_mask,
             params,
-            knn_result=edge_knn(qe) if use_grid else None,
+            knn_result=e_res,
+            neighbor_pts=e_nbr,
         )
         pa = associate_planes(
             qp,
@@ -225,7 +258,8 @@ def _register(
             target.planar_points,
             target.planar_mask,
             params,
-            knn_result=plane_knn(qp) if use_grid else None,
+            knn_result=p_res,
+            neighbor_pts=p_nbr,
         )
         n_edge = jnp.sum(ea.valid, dtype=jnp.int32)
         n_plane = jnp.sum(pa.valid, dtype=jnp.int32)

@@ -106,10 +106,26 @@ def test_sharded_registration_matches_single():
 
     single, detail = register_features(source, target, None, params)
     mesh = make_mesh(line_axis=1)
-    sharded, status, iters = register_features_sharded(
-        source, target, Pose3.identity(jnp.float32), mesh, params
+    sharded, sh_detail = register_features_sharded(
+        source, target, Pose3.identity(jnp.float32), mesh, params,
+        with_matches=True,
     )
-    assert int(status) == int(detail.termination)
+    # full RegistrationDetail parity with the single-device path
+    assert int(sh_detail.termination) == int(detail.termination)
+    assert int(sh_detail.num_iterations) == int(detail.num_iterations)
+    info_s, info_d = detail.iteration_info, sh_detail.iteration_info
+    np.testing.assert_array_equal(
+        np.asarray(info_d.edge_match), np.asarray(info_s.edge_match)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(info_d.plane_match), np.asarray(info_s.plane_match)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(info_d.edge_count), np.asarray(info_s.edge_count)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(info_d.plane_count), np.asarray(info_s.plane_count)
+    )
     np.testing.assert_allclose(
         np.asarray(sharded.translation), np.asarray(single.translation), atol=1e-5
     )
@@ -142,3 +158,50 @@ def test_sharded_voxel_map_matches_single():
     got = occupied(sh.points.reshape(-1, 3), sh.mask.reshape(-1))
     want = occupied(single.points, single.mask)
     assert got == want
+
+
+def test_sharded_scan_to_map_matches_single(scans):
+    """The composed distributed mapping driver (sharded-target registration
+    + mod-D sharded map insert in one jitted step) must track the
+    single-device scan-to-map driver over a >=10-frame trajectory: same
+    keyframe decisions, same map occupancy, same poses (fp tolerance)."""
+    from loam_tpu import scan_to_map_init, scan_to_map_step
+    from loam_tpu.odometry.scan_to_map import ScanToMapConfig
+    from loam_tpu.parallel import make_mesh
+    from loam_tpu.parallel.distributed import (
+        scan_to_map_init_sharded,
+        scan_to_map_step_sharded,
+    )
+
+    s, _ = render_trajectory(
+        LIDAR, 10, step=np.array([0.05, 0.0, 0.0]), noise=0.003, seed=5,
+        dtype=np.float32,
+    )
+    s = jnp.asarray(s)
+    cfg = ScanToMapConfig(edge_capacity=1024, planar_capacity=4096)
+    reg = RegistrationParams(
+        max_iterations=2, min_associations=10, prior_weight=300.0
+    )
+    mesh = make_mesh(line_axis=1)
+
+    single = scan_to_map_init(cfg)
+    sharded = scan_to_map_init_sharded(cfg, mesh)
+    for f in range(s.shape[0]):
+        single, pose_1, _ = scan_to_map_step(
+            single, s[f], LIDAR, feat_params=FEAT, reg_params=reg, config=cfg
+        )
+        sharded, pose_d, _ = scan_to_map_step_sharded(
+            sharded, s[f], LIDAR, mesh, feat_params=FEAT, reg_params=reg,
+            config=cfg,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pose_d.translation),
+            np.asarray(pose_1.translation),
+            atol=2e-3,
+            err_msg=f"frame {f}",
+        )
+        assert int(sharded.frames_since_insert) == int(single.frames_since_insert)
+    # same map occupancy (content equality up to pose fp differences)
+    n_single = int(single.edge_map.size) + int(single.planar_map.size)
+    n_sharded = int(sharded.edge_map.size) + int(sharded.planar_map.size)
+    assert abs(n_single - n_sharded) <= max(5, n_single // 100)
