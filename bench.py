@@ -76,7 +76,7 @@ def _run_bench(
 def main():
     frames = int(os.environ.get("LOAM_BENCH_FRAMES", "64"))
     reps = int(os.environ.get("LOAM_BENCH_REPS", "3"))
-    chunk = int(os.environ.get("LOAM_BENCH_CHUNK", "8"))
+    chunk = int(os.environ.get("LOAM_BENCH_CHUNK", "4"))
     backend = os.environ.get("LOAM_BENCH_BACKEND", "bruteforce")
     motion_init = os.environ.get("LOAM_BENCH_MOTION_INIT", "1") != "0"
 

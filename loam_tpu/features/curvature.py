@@ -92,9 +92,26 @@ def compute_valid_points(
     """Validity mask (L, P) bool — vectorized form of the reference's four
     sequential checks (see module docstring for the equivalence argument)."""
     pts = validate_scan(scan, lidar)
-    L, P = lidar.scan_lines, lidar.points_per_line
-    N = params.neighbor_points
     r = jnp.linalg.norm(pts, axis=-1)  # (L, P)
+    return _valid_from_range_checks(
+        r.shape,
+        params.neighbor_points,
+        lidar.points_per_line,
+        out_of_range=(r < lidar.min_range) | (r > lidar.max_range),
+        occl_fwd=_shift(r, -1) - r > params.occlusion_thresh,
+        occl_bwd=r - _shift(r, -1) > params.occlusion_thresh,
+        parallel=(jnp.abs(_shift(r, 1) - r) > params.parallel_thresh * r)
+        & (jnp.abs(_shift(r, -1) - r) > params.parallel_thresh * r),
+    )
+
+
+def _valid_from_range_checks(
+    shape, N, P, out_of_range, occl_fwd, occl_bwd, parallel
+) -> jax.Array:
+    """Combine the four checks' raw firing conditions into the validity mask
+    (reference sequencing: each check gated on earlier checks not firing;
+    dilations per ``features.cpp:18-70``). Shared by the plain and the
+    compensated (double-float) paths — only the comparisons differ."""
     j = jnp.arange(P)[None, :]
 
     # CHECK 1: line edges
@@ -102,17 +119,16 @@ def compute_valid_points(
     not_c1 = ~c1
 
     # CHECK 2: out-of-range; clears j-N .. j+N
-    f2 = not_c1 & ((r < lidar.min_range) | (r > lidar.max_range))
+    f2 = not_c1 & out_of_range
     inv2 = jnp.zeros_like(f2)
     for n in range(-N, N + 1):
         inv2 = inv2 | _shift(f2, n, fill=False)
 
     # CHECK 3: occlusion. Ranges at j+1 valid wherever the check can fire
     # (j <= P-N-1 since ~c1 and N >= 1).
-    r_next = _shift(r, -1)
     gate3 = not_c1 & ~f2
-    f3a = gate3 & (r_next - r > params.occlusion_thresh)  # case 1: clears j+1..j+N
-    f3b = gate3 & (r - r_next > params.occlusion_thresh)  # case 2: clears j-N+1..j
+    f3a = gate3 & occl_fwd  # case 1: clears j+1..j+N
+    f3b = gate3 & occl_bwd  # case 2: clears j-N+1..j
     inv3 = jnp.zeros_like(f3a)
     for n in range(1, N + 1):
         inv3 = inv3 | _shift(f3a, n, fill=False)
@@ -120,10 +136,98 @@ def compute_valid_points(
         inv3 = inv3 | _shift(f3b, -n, fill=False)
 
     # CHECK 4: beam-parallel surface; clears self only
-    r_prev = _shift(r, 1)
     gate4 = gate3 & ~(f3a | f3b)
-    diff_a = jnp.abs(r_prev - r)
-    diff_b = jnp.abs(r_next - r)
-    f4 = gate4 & (diff_a > params.parallel_thresh * r) & (diff_b > params.parallel_thresh * r)
+    f4 = gate4 & parallel
 
     return ~(c1 | inv2 | inv3 | f4)
+
+
+# ---------------------------------------------------------------------------
+# Compensated (double-float) selection path — north-star bit-faithfulness of
+# feature SELECTION in f32 (SURVEY §7 "float32 vs float64"): the curvature
+# stencil cancels catastrophically in plain f32 at long ranges, flipping the
+# sort/threshold decisions the reference's f64 math defines. Double-float
+# restores ~49-bit decisions on the f32 VPU (the TPU has no f64 ALUs); see
+# ``loam_tpu.ops.twofloat``.
+# ---------------------------------------------------------------------------
+
+
+def compute_curvature_df(
+    scan: jax.Array, lidar: LidarParams, params: FeatureExtractionParams
+):
+    """Curvature as a double-float pair ((L, P) hi, (L, P) lo), f32.
+
+    Same expression and association as :func:`compute_curvature` and the f64
+    oracle (``oracle/oracle.py::compute_curvature``): per coordinate
+    d = -2N p_j + sum_n (p_{j-n} + p_{j+n}); c = d . d — every step
+    compensated, so comparisons between resulting values match the f64 order
+    to ~2^-48 relative. The -1 sentinel lands exactly on line-edge slots.
+    """
+    from ..ops import twofloat as tf
+
+    pts = validate_scan(scan, lidar).astype(jnp.float32)
+    L, P = lidar.scan_lines, lidar.points_per_line
+    N = params.neighbor_points
+    padded = jnp.pad(pts, ((0, 0), (N, N), (0, 0)))
+    d = tf.DF(*tf.two_prod(pts, jnp.float32(-2.0 * N)))
+    for n in range(1, N + 1):
+        pair = tf.DF(
+            *tf.two_sum(padded[:, N - n : N - n + P], padded[:, N + n : N + n + P])
+        )
+        d = tf.df_add(d, pair)
+    c = tf.df_add(tf.df_add(
+        tf.df_sq(tf.DF(d.hi[..., 0], d.lo[..., 0])),
+        tf.df_sq(tf.DF(d.hi[..., 1], d.lo[..., 1]))),
+        tf.df_sq(tf.DF(d.hi[..., 2], d.lo[..., 2])),
+    )
+    j = jnp.arange(P)
+    interior = ((j >= N) & (j < P - N))[None, :]
+    hi = jnp.where(interior, c.hi, jnp.float32(-1.0))
+    lo = jnp.where(interior, c.lo, jnp.float32(0.0))
+    return hi, lo
+
+
+def compute_valid_points_df(
+    scan: jax.Array, lidar: LidarParams, params: FeatureExtractionParams
+) -> jax.Array:
+    """Validity mask with all range comparisons in double-float.
+
+    Matches the f64 oracle's decisions (``oracle/oracle.py::
+    compute_valid_points``) wherever comparison margins exceed ~2^-45
+    relative — ranges, range differences (occlusion) and the beam-parallel
+    products are each compensated before comparing.
+    """
+    from ..ops import twofloat as tf
+
+    pts = validate_scan(scan, lidar).astype(jnp.float32)
+
+    def df_shift(x: "tf.DF", k: int) -> "tf.DF":
+        return tf.DF(_shift(x.hi, k), _shift(x.lo, k))
+
+    def df_abs(x: "tf.DF") -> "tf.DF":
+        neg = (x.hi < 0) | ((x.hi == 0) & (x.lo < 0))
+        return tf.DF(jnp.where(neg, -x.hi, x.hi), jnp.where(neg, -x.lo, x.lo))
+
+    r2 = tf.df_add(tf.df_add(
+        tf.DF(*tf.two_prod(pts[..., 0], pts[..., 0])),
+        tf.DF(*tf.two_prod(pts[..., 1], pts[..., 1]))),
+        tf.DF(*tf.two_prod(pts[..., 2], pts[..., 2])),
+    )
+    r = tf.df_sqrt(r2)
+    r_next = df_shift(r, -1)
+    r_prev = df_shift(r, 1)
+    # thresholds carried at full f64 value (df), in case they are not
+    # exactly f32-representable
+    pr = tf.df_mul(r, tf.df_from_scalar(params.parallel_thresh))
+    occl = tf.df_from_scalar(params.occlusion_thresh)
+    return _valid_from_range_checks(
+        r.hi.shape,
+        params.neighbor_points,
+        lidar.points_per_line,
+        out_of_range=tf.df_lt(r, tf.df_from_scalar(lidar.min_range))
+        | tf.df_gt(r, tf.df_from_scalar(lidar.max_range)),
+        occl_fwd=tf.df_gt(tf.df_sub(r_next, r), occl),
+        occl_bwd=tf.df_gt(tf.df_sub(r, r_next), occl),
+        parallel=tf.df_gt(df_abs(tf.df_sub(r_prev, r)), pr)
+        & tf.df_gt(df_abs(tf.df_sub(r_next, r)), pr),
+    )

@@ -137,8 +137,18 @@ def extract_features(
     Returns:
       FeatureSet with fixed capacities from ``params`` (slot order matches
       the reference's output order).
+
+    With ``params.precise_selection`` (default) and an f32 scan, all
+    selection decisions run in compensated double-float — bit-faithful to
+    the reference's f64 selection (see ``curvature.compute_curvature_df``).
     """
     pts = validate_scan(scan, lidar)
+    if params.precise_selection and pts.dtype == jnp.float32:
+        from .curvature import compute_curvature_df, compute_valid_points_df
+
+        c_hi, c_lo = compute_curvature_df(pts, lidar, params)
+        valid = compute_valid_points_df(pts, lidar, params)
+        return _extract_core(pts, c_hi, c_lo, valid, lidar, params)
     curv = compute_curvature(pts, lidar, params)  # (L, P)
     valid = compute_valid_points(pts, lidar, params)  # (L, P)
     return extract_features_given(scan, curv, valid, lidar, params)
@@ -158,6 +168,20 @@ def extract_features_given(
     values fed to the tie-sensitive greedy stage.
     """
     pts = validate_scan(scan, lidar)
+    return _extract_core(pts, curv, None, valid, lidar, params)
+
+
+def _extract_core(
+    pts: jax.Array,
+    curv: jax.Array,
+    curv_lo,
+    valid: jax.Array,
+    lidar: LidarParams,
+    params: FeatureExtractionParams,
+) -> FeatureSet:
+    """Sector sort + greedy pick. ``curv_lo`` (optional) is the double-float
+    low part of the curvature: when given, sorting and threshold comparisons
+    are lexicographic on (hi, lo) — the f64 decision order."""
     L, P = lidar.scan_lines, lidar.points_per_line
     N = params.neighbor_points
     S = params.number_sectors
@@ -172,13 +196,22 @@ def extract_features_given(
     pk = min(s_max, (max_p + 1) * (2 * N - 1))
 
     inf = jnp.asarray(jnp.inf, curv.dtype)
-    edge_thresh = jnp.asarray(params.edge_feat_threshold, curv.dtype)
-    planar_thresh = jnp.asarray(params.planar_feat_threshold, curv.dtype)
 
     # Sort ALL (line, sector) slices in one batched argsort, hoisted out of
     # the sector scan (the sort does not depend on the evolving NMS mask).
     c_all = jnp.where(slotv_all[None], curv[:, pos_all], inf)  # (L, S, s_max)
-    order = jnp.argsort(c_all, axis=-1, stable=True)  # ascending, ties by idx
+    if curv_lo is not None:
+        cl_all = jnp.where(slotv_all[None], curv_lo.reshape(L, P)[:, pos_all], 0.0)
+        # stable lexicographic argsort by (hi, lo, index): secondary key
+        # first, then a stable sort by the primary key
+        perm1 = jnp.argsort(cl_all, axis=-1, stable=True)
+        hi1 = jnp.take_along_axis(c_all, perm1, axis=-1)
+        perm2 = jnp.argsort(hi1, axis=-1, stable=True)
+        order = jnp.take_along_axis(perm1, perm2, axis=-1)
+        sc_lo_all = jnp.take_along_axis(cl_all, order, axis=-1)
+    else:
+        order = jnp.argsort(c_all, axis=-1, stable=True)  # ascending, ties by idx
+        sc_lo_all = jnp.zeros_like(c_all)
     spos_all = jnp.take_along_axis(
         jnp.broadcast_to(pos_all[None], c_all.shape), order, axis=-1
     )
@@ -187,28 +220,52 @@ def extract_features_given(
         jnp.broadcast_to(slotv_all[None], c_all.shape), order, axis=-1
     )
 
-    def line_fn(valid_l, spos_l, sc_l, ssv_l):
+    if curv_lo is not None:
+        from ..ops import twofloat as tf
+
+        et = tf.df_from_scalar(params.edge_feat_threshold)
+        pt = tf.df_from_scalar(params.planar_feat_threshold)
+
+        def above_edge(hi, lo):
+            return (hi > et.hi) | ((hi == et.hi) & (lo > et.lo))
+
+        def below_planar(hi, lo):
+            return (hi < pt.hi) | ((hi == pt.hi) & (lo < pt.lo))
+
+    else:
+        edge_thresh = jnp.asarray(params.edge_feat_threshold, curv.dtype)
+        planar_thresh = jnp.asarray(params.planar_feat_threshold, curv.dtype)
+
+        def above_edge(hi, lo):
+            return hi > edge_thresh
+
+        def below_planar(hi, lo):
+            return hi < planar_thresh
+
+    def line_fn(valid_l, spos_l, sc_l, scl_l, ssv_l):
         def sector_body(mask, sector_inputs):
-            spos, sc, ssv = sector_inputs  # (S_max,) sorted slices
+            spos, sc, scl, ssv = sector_inputs  # (S_max,) sorted slices
 
             # --- edge pass: descending curvature ------------------------------
-            pre_e = ssv & (sc > edge_thresh) & mask[spos]
+            pre_e = ssv & above_edge(sc, scl) & mask[spos]
             cand_e = _compact_ordered(pre_e[::-1], spos[::-1], ek)
             mask, edge_picks = _greedy_pass(mask, cand_e, max_e, N)
 
             # --- planar pass: ascending curvature -----------------------------
-            pre_p = ssv & (sc < planar_thresh) & mask[spos]
+            pre_p = ssv & below_planar(sc, scl) & mask[spos]
             cand_p = _compact_ordered(pre_p, spos, pk)
             mask, planar_picks = _greedy_pass(mask, cand_p, max_p, N)
 
             return mask, (edge_picks, planar_picks)
 
         _, (edge_picks, planar_picks) = lax.scan(
-            sector_body, valid_l, (spos_l, sc_l, ssv_l)
+            sector_body, valid_l, (spos_l, sc_l, scl_l, ssv_l)
         )
         return edge_picks, planar_picks  # (S, max_e+1), (S, max_p+1)
 
-    edge_picks, planar_picks = jax.vmap(line_fn)(valid, spos_all, sc_all, ssv_all)
+    edge_picks, planar_picks = jax.vmap(line_fn)(
+        valid, spos_all, sc_all, sc_lo_all, ssv_all
+    )
 
     line_offsets = (jnp.arange(L, dtype=jnp.int32) * P)[:, None, None]
 

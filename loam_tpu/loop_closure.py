@@ -35,6 +35,8 @@ class LoopClosures(NamedTuple):
     j: jax.Array  # (K,) later keyframe
     measurement: Pose3  # (K, ...) i_T_j from verification
     accepted: jax.Array  # (K,) bool
+    inlier_frac: jax.Array  # (K,) associated fraction of source features
+    mean_residual: jax.Array  # (K,) mean |point-to-feature| residual at est
 
 
 @functools.partial(jax.jit, static_argnames=("max_candidates", "min_separation"))
@@ -63,6 +65,49 @@ def propose_candidates(
     return i.astype(jnp.int32), j.astype(jnp.int32), valid
 
 
+def closure_quality(
+    est: Pose3,
+    source: FeatureSet,
+    target: FeatureSet,
+    reg_params: RegistrationParams = RegistrationParams(),
+):
+    """Post-fit quality of a registration: (inlier_frac, mean_residual).
+
+    Re-associates the source at the final pose and evaluates the raw
+    point-to-line/plane residuals there. ``inlier_frac`` = valid
+    associations / valid source features; ``mean_residual`` = mean absolute
+    residual over the associated set (meters). A registration that CONVERGED
+    into a wrong local minimum shows up here as few inliers and/or large
+    residuals — convergence alone cannot distinguish it.
+    """
+    from .registration.associate import associate_edges, associate_planes
+    from .registration.solver import _Problem, _residuals
+
+    dtype = source.edge_points.dtype
+    qe = est.act(source.edge_points)
+    qp = est.act(source.planar_points)
+    ea = associate_edges(
+        qe, source.edge_mask, target.edge_points, target.edge_mask, reg_params
+    )
+    pa = associate_planes(
+        qp, source.planar_mask, target.planar_points, target.planar_mask,
+        reg_params,
+    )
+    r, _, _, mask = _residuals(
+        _Problem(pts_edge=qe, edge=ea, pts_plane=qp, plane=pa),
+        Pose3.identity(dtype),
+    )
+    n_assoc = jnp.sum(mask, dtype=jnp.int32)
+    n_src = jnp.sum(source.edge_mask, dtype=jnp.int32) + jnp.sum(
+        source.planar_mask, dtype=jnp.int32
+    )
+    frac = n_assoc / jnp.maximum(n_src, 1).astype(dtype)
+    mean_r = jnp.sum(jnp.where(mask, jnp.abs(r), 0.0)) / jnp.maximum(
+        n_assoc, 1
+    ).astype(dtype)
+    return frac, mean_r
+
+
 def verify_closures(
     trajectory: Pose3,
     features: FeatureSet,
@@ -70,6 +115,8 @@ def verify_closures(
     cand_j: jax.Array,
     cand_valid: jax.Array,
     reg_params: RegistrationParams = RegistrationParams(),
+    min_inlier_frac: float = 0.35,
+    max_mean_residual: float = 0.25,
 ) -> LoopClosures:
     """Register keyframe j's features against keyframe i's for each candidate.
 
@@ -77,7 +124,12 @@ def verify_closures(
       trajectory: (N, ...) current world pose estimates.
       features: FeatureSet batch with leading axis N (per-keyframe features
         in their own sensor frames).
-    Accepts a closure when registration CONVERGED.
+      min_inlier_frac / max_mean_residual: post-fit quality gates (see
+        :func:`closure_quality`).
+
+    Accepts a closure only when registration CONVERGED **and** the post-fit
+    quality passes — a converged-but-wrong local minimum (e.g. aliased
+    geometry) must not become a high-weight pose-graph edge.
     """
     Ti = jax.tree.map(lambda x: x[cand_i], trajectory)
     Tj = jax.tree.map(lambda x: x[cand_j], trajectory)
@@ -93,8 +145,16 @@ def verify_closures(
     est, detail = jax.vmap(
         lambda s, t, p: _register(s, t, p, reg_params, with_matches=False)
     )(src, tgt, init)
-    accepted = cand_valid & (detail.termination == TerminationType.CONVERGED)
-    return LoopClosures(cand_i, cand_j, est, accepted)
+    frac, mean_r = jax.vmap(
+        lambda e, s, t: closure_quality(e, s, t, reg_params)
+    )(est, src, tgt)
+    accepted = (
+        cand_valid
+        & (detail.termination == TerminationType.CONVERGED)
+        & (frac >= min_inlier_frac)
+        & (mean_r <= max_mean_residual)
+    )
+    return LoopClosures(cand_i, cand_j, est, accepted, frac, mean_r)
 
 
 def closure_edges(closures: LoopClosures, weight: float = 10.0) -> PoseGraphEdges:
@@ -118,6 +178,8 @@ def optimize_trajectory_with_closures(
     max_distance: float = 3.0,
     closure_weight: float = 10.0,
     iterations: int = 10,
+    min_inlier_frac: float = 0.35,
+    max_mean_residual: float = 0.25,
 ) -> Tuple[Pose3, LoopClosures]:
     """End-to-end: propose -> verify -> pose-graph optimize.
 
@@ -126,7 +188,11 @@ def optimize_trajectory_with_closures(
     ci, cj, cv = propose_candidates(
         trajectory, max_candidates, min_separation, max_distance
     )
-    closures = verify_closures(trajectory, features, ci, cj, cv, reg_params)
+    closures = verify_closures(
+        trajectory, features, ci, cj, cv, reg_params,
+        min_inlier_frac=min_inlier_frac,
+        max_mean_residual=max_mean_residual,
+    )
     odo = odometry_edges(trajectory)
     clo = closure_edges(closures, closure_weight)
     edges = PoseGraphEdges(

@@ -73,6 +73,14 @@ class FeatureExtractionParams:
     occlusion_thresh: float = 0.5
     #: Range difference (as proportion of range) for beam-parallel surfaces.
     parallel_thresh: float = 1.0
+    #: TPU-build extension (not in reference): compute the selection-critical
+    #: quantities (curvature values for sorting/thresholds, range-gate /
+    #: occlusion / parallel comparisons) in compensated double-float f32, so
+    #: f32 feature SELECTION is bit-faithful to the reference's f64 math
+    #: (~49-bit decisions; see ``loam_tpu.ops.twofloat``). The selected
+    #: points themselves stay f32 either way. Only affects f32 scans; f64
+    #: scans already match the oracle directly.
+    precise_selection: bool = True
 
     def __post_init__(self):
         if self.neighbor_points < 1:

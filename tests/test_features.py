@@ -207,15 +207,39 @@ class TestOracleParity:
         np.testing.assert_array_equal(e_pts, flat[e_idx])
         np.testing.assert_array_equal(p_pts, flat[p_idx])
 
-    def test_f32_selects_same_features_on_noisy_scan(self):
+    def test_f32_selection_bit_faithful_to_f64(self):
+        # the compensated (double-float) selection path must make the f32
+        # pipeline's feature choice EXACTLY equal to f64 math on the same
+        # f32-valued points — no tolerance (north-star bit-faithfulness)
         lidar = LidarParams(8, 128, 0.5, 60.0)
-        scan = render_scan(lidar, noise=0.01, seed=7)
-        f64 = extract_features(jnp.asarray(scan), lidar, FeatureExtractionParams())
-        f32 = extract_features(jnp.asarray(scan, dtype=jnp.float32), lidar, FeatureExtractionParams())
+        scan32 = np.asarray(render_scan(lidar, noise=0.01, seed=7), np.float32)
+        f64 = extract_features(
+            jnp.asarray(scan32, dtype=jnp.float64), lidar, FeatureExtractionParams()
+        )
+        f32 = extract_features(
+            jnp.asarray(scan32, dtype=jnp.float32), lidar, FeatureExtractionParams()
+        )
         e64, p64 = f64.compact_indices()
         e32, p32 = f32.compact_indices()
-        # identical selections (sets; f32 rounding may reorder near-ties)
-        assert set(e64.tolist()) == set(e32.tolist())
-        # planar picks can differ slightly near ties under f32; demand near-complete agreement
-        inter = len(set(p64.tolist()) & set(p32.tolist()))
-        assert inter >= 0.97 * max(len(p64), len(p32))
+        np.testing.assert_array_equal(e32, e64)
+        np.testing.assert_array_equal(p32, p64)
+
+    def test_f32_full_scale_oracle_parity(self):
+        # Ouster-64 scale (64 x 1024), default params, noisy scan: the f32
+        # pipeline's selected features must equal the f64 NumPy oracle's
+        # EXACTLY, index for index, in output order (SURVEY §7 "hard parts";
+        # reference behavior being matched: features-inl.h:137-180)
+        lidar = LidarParams(64, 1024, 0.5, 120.0)
+        params = FeatureExtractionParams()
+        scan32 = np.asarray(
+            render_scan(lidar, noise=0.01, seed=7, dtype=np.float32), np.float32
+        )
+        fs = extract_features(jnp.asarray(scan32), lidar, params)
+        got_e = [int(i) for i in np.asarray(fs.edge_indices) if i >= 0]
+        got_p = [int(i) for i in np.asarray(fs.planar_indices) if i >= 0]
+        oe, op = oracle.extract_features(
+            np.asarray(scan32, np.float64), lidar, params
+        )
+        assert got_e == list(oe)
+        assert got_p == list(op)
+        assert len(got_p) > 10000  # the scan must actually be feature-rich

@@ -99,3 +99,37 @@ def test_end_to_end_loop_closure(loop_data):
     end_err1 = float(jnp.linalg.norm(opt.translation[-1] - opt.translation[0]))
     # the revisit (frame N-1 == frame 0) must be pulled together
     assert end_err1 < 0.5 * end_err0 or end_err1 < 0.02, (end_err0, end_err1)
+
+
+def test_wrong_minimum_closure_rejected(loop_data):
+    """A registration that CONVERGES into a wrong alignment must not become
+    a pose-graph edge: the post-fit quality gates (inlier fraction / mean
+    residual) reject it."""
+    scans, gt_pos, gt_yaw, feats = loop_data
+    N = feats.edge_points.shape[0]
+
+    # candidate pairing frame 0 with a frame ~quarter way around the square:
+    # genuinely different viewpoints whose feature sets do not align, but a
+    # proximity-based proposer (fed a collapsed trajectory) would offer it
+    collapsed = Pose3(
+        _gt_trajectory(gt_pos, gt_yaw).rotation,
+        jnp.zeros((N, 3), jnp.float32),  # all keyframes claim the same spot
+    )
+    ci = jnp.asarray([0], jnp.int32)
+    cj = jnp.asarray([N // 2], jnp.int32)
+    cv = jnp.asarray([True])
+    closures = verify_closures(collapsed, feats, ci, cj, cv)
+    # whatever the solver did, the gate must hold it out
+    assert not bool(closures.accepted[0]), (
+        float(closures.inlier_frac[0]),
+        float(closures.mean_residual[0]),
+    )
+
+    # sanity: the TRUE revisit (first == last keyframe) still passes the gate
+    traj = _gt_trajectory(gt_pos, gt_yaw)
+    good = verify_closures(
+        traj, feats, jnp.asarray([0], jnp.int32),
+        jnp.asarray([N - 1], jnp.int32), jnp.asarray([True]),
+    )
+    assert bool(good.accepted[0])
+    assert float(good.inlier_frac[0]) > 0.5
