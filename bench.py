@@ -73,7 +73,43 @@ def _run_bench(
     return frames * reps / elapsed
 
 
+def _run_bench_scan_to_map(frames: int, reps: int) -> float:
+    """Scan-to-map throughput: sequential mapping loop, one dispatch per
+    trajectory (``scan_to_map_offline``), default map capacities
+    (1<<15 edge / 1<<17 planar slots), hardware-default search backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from loam_tpu import LidarParams, scan_to_map_offline
+    from loam_tpu.io import render_trajectory
+
+    lidar = LidarParams(64, 1024, 0.5, 120.0)
+    scans, _ = render_trajectory(
+        lidar,
+        frames,
+        step=np.array([0.08, 0.02, 0.0]),
+        yaw_rate=0.01,
+        noise=0.005,
+        seed=0,
+        dtype=np.float32,
+    )
+    scans = jnp.asarray(scans)
+
+    def run():
+        state, traj, details = scan_to_map_offline(scans, lidar)
+        jax.block_until_ready(traj)
+        return traj
+
+    traj = run()
+    assert bool(jnp.isfinite(traj.translation).all()), "non-finite trajectory"
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run()
+    return frames * reps / (time.perf_counter() - t0)
+
+
 def main():
+    mode = os.environ.get("LOAM_BENCH_MODE", "scan_to_scan")
     frames = int(os.environ.get("LOAM_BENCH_FRAMES", "64"))
     reps = int(os.environ.get("LOAM_BENCH_REPS", "3"))
     chunk = int(os.environ.get("LOAM_BENCH_CHUNK", "4"))
@@ -83,7 +119,12 @@ def main():
     scans_per_sec = None
     while True:
         try:
-            scans_per_sec = _run_bench(frames, reps, backend, chunk, motion_init)
+            if mode == "scan_to_map":
+                scans_per_sec = _run_bench_scan_to_map(frames, reps)
+            else:
+                scans_per_sec = _run_bench(
+                    frames, reps, backend, chunk, motion_init
+                )
             break
         except Exception as e:  # transient remote-compile/device aborts
             if frames <= 6:
@@ -93,10 +134,15 @@ def main():
                   f"{frames} frames", file=sys.stderr)
 
     baseline = 1000.0 / 16.5  # reference: 3.5 ms extract + 13 ms register
+    metric = (
+        "e2e_odometry_throughput"
+        if mode != "scan_to_map"
+        else "e2e_scan_to_map_throughput"
+    )
     print(
         json.dumps(
             {
-                "metric": "e2e_odometry_throughput",
+                "metric": metric,
                 "value": round(scans_per_sec, 2),
                 "unit": "scans/s/chip (64x1024 Ouster-64 scans)",
                 "vs_baseline": round(scans_per_sec / baseline, 2),

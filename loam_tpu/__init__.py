@@ -47,6 +47,7 @@ from .odometry import (
     ScanToScanState,
     odometry_offline,
     scan_to_map_init,
+    scan_to_map_offline,
     scan_to_map_step,
     scan_to_scan_init,
     scan_to_scan_step,
@@ -76,6 +77,7 @@ __all__ = [
     "knn",
     "odometry_offline",
     "scan_to_map_init",
+    "scan_to_map_offline",
     "scan_to_map_step",
     "scan_to_scan_init",
     "scan_to_scan_step",

@@ -15,7 +15,14 @@ TPU-natively (SURVEY §3.4, BASELINE configs 2-4):
 """
 
 from .offline import odometry_offline
-from .scan_to_map import ScanToMapConfig, ScanToMapState, scan_to_map_init, scan_to_map_step
+from .scan_to_map import (
+    ScanToMapConfig,
+    ScanToMapState,
+    default_map_reg_params,
+    scan_to_map_init,
+    scan_to_map_offline,
+    scan_to_map_step,
+)
 from .scan_to_scan import ScanToScanState, scan_to_scan_init, scan_to_scan_step
 
 __all__ = [
@@ -24,7 +31,9 @@ __all__ = [
     "ScanToScanState",
     "odometry_offline",
     "scan_to_map_init",
+    "scan_to_map_offline",
     "scan_to_map_step",
+    "default_map_reg_params",
     "scan_to_scan_init",
     "scan_to_scan_step",
 ]

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -91,6 +91,21 @@ def _map_feature_set(edge_map: VoxelMap, planar_map: VoxelMap) -> FeatureSet:
     )
 
 
+def default_map_reg_params() -> RegistrationParams:
+    """Map-target registration defaults, picked for the backend at hand.
+
+    On TPU the culled brute-force Pallas kernel beats the gather-bound voxel
+    grid at every size tested (docs/PERFORMANCE.md), including map-capacity
+    targets whose key-sorted storage is spatially coherent (the kernel's
+    bounding-box chunk culling skips almost everything beyond the search
+    radius). On CPU the voxel grid wins at map scale.
+    """
+    from ..ops.knn_pallas import pallas_supported
+
+    backend = "bruteforce" if pallas_supported() else "grid"
+    return RegistrationParams(search_backend=backend, prior_weight=300.0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("lidar", "feat_params", "reg_params", "config", "dewarp"),
@@ -100,9 +115,7 @@ def scan_to_map_step(
     scan: jax.Array,
     lidar: LidarParams,
     feat_params: FeatureExtractionParams = FeatureExtractionParams(),
-    reg_params: RegistrationParams = RegistrationParams(
-        search_backend="grid", prior_weight=300.0
-    ),
+    reg_params: Optional[RegistrationParams] = None,
     config: ScanToMapConfig = ScanToMapConfig(),
     dewarp: bool = False,
 ) -> Tuple[ScanToMapState, Pose3, RegistrationDetail]:
@@ -111,7 +124,12 @@ def scan_to_map_step(
     Flow: [optional dewarp with the constant-velocity motion] -> extract ->
     register world-frame features against the voxel maps (init = constant-
     velocity prediction) -> keyframe-gated map insert.
+
+    ``reg_params=None`` uses :func:`default_map_reg_params` (fast backend
+    for the current hardware).
     """
+    if reg_params is None:
+        reg_params = default_map_reg_params()
     if dewarp:
         scan = dewarp_scan(scan, state.prev_delta, lidar)
     feats = azimuth_sort_features(extract_features(scan, lidar, feat_params))
@@ -175,3 +193,45 @@ def scan_to_map_step(
         ).astype(jnp.int32),
     )
     return new_state, world_T_new, detail
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lidar", "feat_params", "reg_params", "config", "dewarp"),
+)
+def scan_to_map_offline(
+    scans: jax.Array,
+    lidar: LidarParams,
+    feat_params: FeatureExtractionParams = FeatureExtractionParams(),
+    reg_params: Optional[RegistrationParams] = None,
+    config: ScanToMapConfig = ScanToMapConfig(),
+    dewarp: bool = False,
+    init_state: Optional[ScanToMapState] = None,
+) -> Tuple[ScanToMapState, Pose3, RegistrationDetail]:
+    """Whole-trajectory scan-to-map odometry in ONE compiled program.
+
+    ``lax.scan`` drives :func:`scan_to_map_step` over the stacked frames —
+    the mapping loop is inherently sequential (each frame registers against
+    the map built so far), but running it on-device amortizes dispatch
+    latency (~30 ms/call on remote-attached chips) to one dispatch per
+    TRAJECTORY instead of per frame, and the compiled program size is one
+    step regardless of F.
+
+    Args:
+      scans: (F, L, P, 3) or (F, L*P, 3) stacked scans.
+
+    Returns: (final state, trajectory Pose3 with (F, ...) leaves, stacked
+    per-frame RegistrationDetail).
+    """
+    if reg_params is None:
+        reg_params = default_map_reg_params()
+    state0 = scan_to_map_init(config) if init_state is None else init_state
+
+    def step(state, scan):
+        state, pose, detail = scan_to_map_step(
+            state, scan, lidar, feat_params, reg_params, config, dewarp
+        )
+        return state, (pose, detail)
+
+    state, (traj, details) = lax.scan(step, state0, scans)
+    return state, traj, details

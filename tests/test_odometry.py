@@ -157,3 +157,30 @@ def test_rpe_matches_hand_computed():
     assert t3 == 0.0 and abs(r3 - 0.1) < 1e-12
     # position-only fallback: vector difference of relative translations
     assert abs(rpe_rmse(est_t, ref_t) - 0.3) < 1e-12
+
+
+def test_scan_to_map_offline_matches_streaming(trajectory):
+    # the lax.scan-driven whole-trajectory driver must reproduce the
+    # streaming step loop exactly (same step function, same carry)
+    from loam_tpu import scan_to_map_offline
+    from loam_tpu.odometry.scan_to_map import ScanToMapConfig
+
+    scans, gt = trajectory
+    cfg = ScanToMapConfig(edge_capacity=2048, planar_capacity=8192)
+    reg = RegistrationParams(search_backend="grid")
+    state = scan_to_map_init(cfg)
+    stream = []
+    for f in range(N_FRAMES):
+        state, pose, _ = scan_to_map_step(
+            state, jnp.asarray(scans[f]), LIDAR, reg_params=reg, config=cfg
+        )
+        stream.append(np.asarray(pose.translation))
+    fstate, traj, details = scan_to_map_offline(
+        jnp.asarray(scans), LIDAR, reg_params=reg, config=cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj.translation), np.stack(stream), atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fstate.edge_map.mask), np.asarray(state.edge_map.mask)
+    )
