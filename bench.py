@@ -40,7 +40,9 @@ def _run_bench(
     from loam_tpu.io import render_trajectory
 
     lidar = LidarParams(64, 1024, 0.5, 120.0)
-    feat_params = FeatureExtractionParams()
+    feat_params = FeatureExtractionParams(
+        precise_selection=os.environ.get("LOAM_BENCH_PRECISE", "1") != "0"
+    )
     reg_params = RegistrationParams(search_backend=backend)
 
     scans, _ = render_trajectory(

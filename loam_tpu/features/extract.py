@@ -197,28 +197,28 @@ def _extract_core(
 
     inf = jnp.asarray(jnp.inf, curv.dtype)
 
-    # Sort ALL (line, sector) slices in one batched argsort, hoisted out of
+    # Sort ALL (line, sector) slices in ONE batched lax.sort, hoisted out of
     # the sector scan (the sort does not depend on the evolving NMS mask).
+    # Position and slot-validity ride along as sort values — no post-sort
+    # gathers (TPU gathers are expensive). The precise path sorts
+    # lexicographically on the double-float (hi, lo) pair via num_keys=2;
+    # stability pins the oracle's canonical (curvature, index) tie order.
     c_all = jnp.where(slotv_all[None], curv[:, pos_all], inf)  # (L, S, s_max)
+    pos_b = jnp.broadcast_to(pos_all[None], c_all.shape)
+    slotv_b = jnp.broadcast_to(slotv_all[None], c_all.shape)
     if curv_lo is not None:
         cl_all = jnp.where(slotv_all[None], curv_lo.reshape(L, P)[:, pos_all], 0.0)
-        # stable lexicographic argsort by (hi, lo, index): secondary key
-        # first, then a stable sort by the primary key
-        perm1 = jnp.argsort(cl_all, axis=-1, stable=True)
-        hi1 = jnp.take_along_axis(c_all, perm1, axis=-1)
-        perm2 = jnp.argsort(hi1, axis=-1, stable=True)
-        order = jnp.take_along_axis(perm1, perm2, axis=-1)
-        sc_lo_all = jnp.take_along_axis(cl_all, order, axis=-1)
+        sc_all, sc_lo_all, spos_all, ssv_all = lax.sort(
+            (c_all, cl_all, pos_b, slotv_b),
+            dimension=-1,
+            num_keys=2,
+            is_stable=True,
+        )
     else:
-        order = jnp.argsort(c_all, axis=-1, stable=True)  # ascending, ties by idx
+        sc_all, spos_all, ssv_all = lax.sort(
+            (c_all, pos_b, slotv_b), dimension=-1, num_keys=1, is_stable=True
+        )
         sc_lo_all = jnp.zeros_like(c_all)
-    spos_all = jnp.take_along_axis(
-        jnp.broadcast_to(pos_all[None], c_all.shape), order, axis=-1
-    )
-    sc_all = jnp.take_along_axis(c_all, order, axis=-1)
-    ssv_all = jnp.take_along_axis(
-        jnp.broadcast_to(slotv_all[None], c_all.shape), order, axis=-1
-    )
 
     if curv_lo is not None:
         from ..ops import twofloat as tf

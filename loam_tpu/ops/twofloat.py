@@ -50,39 +50,52 @@ def _pin(*xs):
     The select ``where(x == x, x, 0)`` is a durable pin: no compiler can
     fold it without proving ``x`` is never NaN (the fold would change a NaN
     input into 0), and a select between a multiply and its consumer add
-    blocks FMA contraction in instruction selection. Belt and braces: keep
-    the optimization_barrier too, so HLO-level passes cannot re-fuse before
-    the select is in place.
+    blocks FMA contraction in instruction selection — while remaining an
+    ordinary fusible elementwise op (an ``optimization_barrier`` would also
+    work at the HLO level but splits fusions, costing a full HBM round trip
+    per pinned intermediate; it is also expanded away before codegen, which
+    is why it cannot prevent the contraction on its own).
     """
-    ys = lax.optimization_barrier(xs)
-    ys = tuple(jnp.where(y == y, y, jnp.zeros_like(y)) for y in ys)
+    ys = tuple(jnp.where(x == x, x, jnp.zeros_like(x)) for x in xs)
     return ys if len(xs) > 1 else ys[0]
 
 
 def two_sum(a, b):
-    """Exact addition: returns (s, e) with s = fl(a+b), s + e = a + b."""
-    s = _pin(a + b)
-    bb = _pin(s - a)
-    e = _pin(a - _pin(s - bb)) + _pin(b - bb)
+    """Exact addition: returns (s, e) with s = fl(a+b), s + e = a + b.
+
+    Add/sub chains are immune to FMA contraction (no multiplies), so no
+    pins are needed here — PROVIDED the inputs are not raw multiplies (every
+    multiply in this module is pinned at its definition).
+    """
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
     return s, e
 
 
 def fast_two_sum(a, b):
     """Exact addition assuming |a| >= |b|."""
-    s = _pin(a + b)
-    e = b - _pin(s - a)
+    s = a + b
+    e = b - (s - a)
     return s, e
 
 
 def _split(a):
     """Veltkamp split of an f32 into 12+12-bit halves."""
     c = _pin(jnp.float32(4097.0) * a)  # 2^12 + 1
-    hi = _pin(c - _pin(c - a))
+    hi = c - (c - a)
     return hi, a - hi
 
 
 def two_prod(a, b):
-    """Exact multiplication: (p, e) with p = fl(a*b), p + e = a*b."""
+    """Exact multiplication: (p, e) with p = fl(a*b), p + e = a*b.
+
+    Every multiply is pinned: an unpinned ``a*b`` is eligible for FMA
+    contraction into whatever add consumes it next (the observed XLA:CPU
+    failure contracted ``two_sum(fl(a*-6), s)``'s first add into
+    ``fma(a,-6,s)``, destroying the compensation), and the split/product
+    identities require each product rounded to f32 exactly as written.
+    """
     p = _pin(a * b)
     ah, al = _split(a)
     bh, bl = _split(b)
@@ -90,11 +103,8 @@ def two_prod(a, b):
     t1 = _pin(ah * bl)
     t2 = _pin(al * bh)
     t3 = _pin(al * bl)
-    e = _pin(_pin(_pin(t0 - p) + t1) + t2) + t3
-    # pin the outputs: p is a raw multiply and would otherwise be eligible
-    # for FMA contraction into the CALLER's next add (the exact failure
-    # observed in two_sum(two_prod(...).p, s))
-    return p, _pin(e)
+    e = ((t0 - p) + t1 + t2) + t3
+    return p, e
 
 
 def df_from(a) -> DF:
