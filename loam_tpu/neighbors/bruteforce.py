@@ -74,10 +74,17 @@ def _tile_knn(
 ) -> KnnResult:
     """kNN of one query tile against all targets. ``t_sq_masked`` carries +inf
     in invalid target slots so they sort last and are masked out."""
-    # d^2 = |q|^2 + |t|^2 - 2 q.t   (cross term on the MXU). HIGHEST: the
-    # TPU matmul default is bf16 inputs, which corrupts neighbor ordering.
-    cross = jnp.matmul(q_tile, targets.T, precision=lax.Precision.HIGHEST)  # (C, M)
-    d2 = jnp.sum(q_tile * q_tile, axis=-1)[:, None] + t_sq_masked[None, :] - 2.0 * cross
+    # Direct per-coordinate squared differences: exact in the working dtype.
+    # The |q|^2+|t|^2-2q.t cross-term form (MXU-friendly) cancels
+    # catastrophically at long ranges — at |t|~80 m its f32 distances were
+    # off by ~1e-4, flipping borderline radius accepts relative to both the
+    # Pallas kernel and the f64 oracle (which use/are direct differences,
+    # like the reference's nanoflann L2_Simple).
+    d2 = jnp.zeros((q_tile.shape[0], targets.shape[0]), q_tile.dtype)
+    for c in range(3):
+        dc = q_tile[:, c][:, None] - targets[:, c][None, :]
+        d2 = d2 + dc * dc
+    d2 = d2 + jnp.where(jnp.isfinite(t_sq_masked), 0.0, jnp.inf)[None, :]
     M = targets.shape[0]
     kk = min(k, M)  # fewer targets than k: result holds fewer entries (§2.3(7))
     d2k, idx = topk_min(d2, kk)

@@ -53,8 +53,8 @@ def _extract_k_rows(d2, row, k):
 
 
 def _knn_kernel(
-    q_ref, t_ref, tinv_ref, bbox_ref, qbox_ref, idx_ref, d2_ref, *, k: int,
-    tt: int, r2_skip: float,
+    q_ref, t_ref, tinv_ref, bbox_ref, qbox_ref, rng_ref, idx_ref, d2_ref, *,
+    k: int, tt: int, r2_skip: float,
 ):
     q = q_ref[...]  # (3, TQ)
     tq = q.shape[1]
@@ -114,7 +114,20 @@ def _knn_kernel(
 
     best_v = jnp.full((k, tq), jnp.inf, jnp.float32)
     best_i = jnp.zeros((k, tq), jnp.int32)
-    best_v, best_i = lax.fori_loop(0, m_total // tt, chunk, (best_v, best_i))
+    if r2_skip > 0:
+        # loop only over this tile's active chunk RANGE (precomputed at the
+        # jit level from the same bbox test): azimuth/spatially sorted
+        # targets make active chunks near-contiguous, so the per-chunk cond
+        # overhead of the full 0..n_chunks sweep (the dominant cost for
+        # narrow wedges) collapses to the few chunks that can matter.
+        tile = pl.program_id(0)
+        start = rng_ref[tile, 0]
+        end = rng_ref[tile, 1]
+        best_v, best_i = lax.fori_loop(start, end, chunk, (best_v, best_i))
+    else:
+        best_v, best_i = lax.fori_loop(
+            0, m_total // tt, chunk, (best_v, best_i)
+        )
     idx_ref[...] = best_i
     d2_ref[...] = best_v
 
@@ -166,12 +179,36 @@ def knn_pallas(
     qhi = jnp.max(jnp.where(qvalid, qch, -big), axis=2)
     qbox = jnp.concatenate([qlo, qhi], axis=0).T  # (n_tiles, 6)
 
+    # Per-tile active chunk range [start, end): the same separation test the
+    # kernel applies per chunk, vectorized here over (tiles, chunks). Sorted
+    # input order makes the active set near-contiguous; the covering range
+    # may include a few inactive interior chunks (e.g. at the +-pi azimuth
+    # wrap), which the kernel's per-chunk cond still skips cheaply.
+    r2 = float(max_dist) ** 2 if max_dist > 0 else 0.0
+    if r2 > 0:
+        gap = jnp.maximum(
+            jnp.maximum(
+                qlo.T[:, None, :] - bhi.T[None, :, :],
+                blo.T[None, :, :] - qhi.T[:, None, :],
+            ),
+            0.0,
+        )  # (n_tiles, n_chunks, 3)
+        sep2 = jnp.sum(gap * gap, axis=-1)
+        active = sep2 < jnp.asarray(r2, dtype)  # (n_tiles, n_chunks)
+        has = jnp.any(active, axis=1)
+        first = jnp.argmax(active, axis=1).astype(jnp.int32)
+        last = (
+            n_chunks - 1 - jnp.argmax(active[:, ::-1], axis=1).astype(jnp.int32)
+        )
+        start = jnp.where(has, first, 0)
+        end = jnp.where(has, last + 1, 0)
+        ranges = jnp.stack([start, end], axis=1)  # (n_tiles, 2) int32
+    else:
+        ranges = jnp.zeros((n_tiles, 2), jnp.int32)
+
     grid = (n_tiles,)
     idx, d2 = pl.pallas_call(
-        functools.partial(
-            _knn_kernel, k=k, tt=tt,
-            r2_skip=float(max_dist) ** 2 if max_dist > 0 else 0.0,
-        ),
+        functools.partial(_knn_kernel, k=k, tt=tt, r2_skip=r2),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -183,6 +220,9 @@ def knn_pallas(
             pl.BlockSpec(
                 (n_tiles, 6), lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
+            pl.BlockSpec(
+                (n_tiles, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
         ],
         out_specs=[
             pl.BlockSpec((k, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -192,7 +232,7 @@ def knn_pallas(
             jax.ShapeDtypeStruct((k, qpad), jnp.int32),
             jax.ShapeDtypeStruct((k, qpad), jnp.float32),
         ],
-    )(qT, tT, tinv, bbox, qbox)
+    )(qT, tT, tinv, bbox, qbox, ranges)
 
     idx = idx[:, :Q].T
     d2 = d2[:, :Q].T
