@@ -11,7 +11,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env knobs:
   LOAM_BENCH_FRAMES  (default 64)  frames per timed batch
   LOAM_BENCH_REPS    (default 3)   timed repetitions
-  LOAM_BENCH_CHUNK   (default 8)   registration pairs per lockstep chunk
+  LOAM_BENCH_CHUNK   (default 1)   registration pairs per lockstep chunk
   LOAM_BENCH_BACKEND (default "bruteforce") neighbor search backend
 
 The pair axis is processed in ``lax.map`` chunks (``chunk_pairs``), so the
@@ -114,7 +114,7 @@ def main():
     mode = os.environ.get("LOAM_BENCH_MODE", "scan_to_scan")
     frames = int(os.environ.get("LOAM_BENCH_FRAMES", "64"))
     reps = int(os.environ.get("LOAM_BENCH_REPS", "3"))
-    chunk = int(os.environ.get("LOAM_BENCH_CHUNK", "4"))
+    chunk = int(os.environ.get("LOAM_BENCH_CHUNK", "1"))
     backend = os.environ.get("LOAM_BENCH_BACKEND", "bruteforce")
     motion_init = os.environ.get("LOAM_BENCH_MOTION_INIT", "1") != "0"
 

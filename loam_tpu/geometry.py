@@ -218,7 +218,15 @@ def sym3x3_eigvalsh(A: jax.Array) -> jax.Array:
     p2 = jnp.sum(B * B, axis=(-2, -1)) / 6.0
     p = jnp.sqrt(jnp.maximum(p2, 0.0))
     safe_p = jnp.where(p > 0, p, 1.0)
-    detB = jnp.linalg.det(B)
+    # explicit 3x3 determinant (jnp.linalg.det would take a generic LU path)
+    b00, b01, b02 = B[..., 0, 0], B[..., 0, 1], B[..., 0, 2]
+    b10, b11, b12 = B[..., 1, 0], B[..., 1, 1], B[..., 1, 2]
+    b20, b21, b22 = B[..., 2, 0], B[..., 2, 1], B[..., 2, 2]
+    detB = (
+        b00 * (b11 * b22 - b12 * b21)
+        - b01 * (b10 * b22 - b12 * b20)
+        + b02 * (b10 * b21 - b11 * b20)
+    )
     r = detB / (2.0 * safe_p**3)
     r = jnp.clip(r, -1.0, 1.0)
     phi = jnp.arccos(r) / 3.0
@@ -253,6 +261,18 @@ def sym3x3_principal_eigvec(A: jax.Array, eigval: jax.Array) -> jax.Array:
     return v / nv[..., None]
 
 
+def _outer_sum_small_k(centered: jax.Array) -> jax.Array:
+    """sum_k centered[..., k, :] (x) centered[..., k, :] with the (static,
+    small) neighbor axis unrolled: a K~5 contraction as dot_general lowers
+    to a badly-shaped batched matmul on TPU; K unrolled multiply-adds are
+    pure elementwise VPU work."""
+    K = centered.shape[-2]
+    cov = centered[..., 0, :, None] * centered[..., 0, None, :]
+    for k in range(1, K):
+        cov = cov + centered[..., k, :, None] * centered[..., k, None, :]
+    return cov
+
+
 def fit_line(points: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """PCA line fit over masked points (reference ``geometry.cpp:42-59``).
 
@@ -281,7 +301,7 @@ def fit_line(points: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax.Array, 
     count = jnp.maximum(jnp.sum(m, axis=-2), 1.0)  # (..., 1)
     center = jnp.sum(points * m, axis=-2) / count  # (..., 3)
     centered = (points - center[..., None, :]) * m
-    cov = jnp.einsum("...ki,...kj->...ij", centered, centered)
+    cov = _outer_sum_small_k(centered)
     eigvals = sym3x3_eigvalsh(cov)
     direction = sym3x3_principal_eigvec(cov, eigvals[..., 2])
     a = center + 0.1 * direction
@@ -317,7 +337,7 @@ def fit_plane(points: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax.Array,
     count = jnp.maximum(jnp.sum(m, axis=-2), 1.0)  # (..., 1)
     centroid = jnp.sum(points * m, axis=-2) / count
     centered = (points - centroid[..., None, :]) * m
-    cov = jnp.einsum("...ki,...kj->...ij", centered, centered)
+    cov = _outer_sum_small_k(centered)
     eigvals = sym3x3_eigvalsh(cov)
     # smallest-eigenvalue eigenvector = plane normal
     normal = sym3x3_principal_eigvec(cov, eigvals[..., 0])

@@ -40,7 +40,7 @@ def odometry_offline(
     lidar: LidarParams,
     feat_params: FeatureExtractionParams = FeatureExtractionParams(),
     reg_params: RegistrationParams = RegistrationParams(),
-    chunk_pairs: int = 8,
+    chunk_pairs: int = 1,
     motion_init: bool = False,
 ) -> Tuple[Pose3, RegistrationDetail]:
     """Whole-trajectory scan-to-scan odometry in one compiled program.
@@ -53,7 +53,10 @@ def odometry_offline(
         registration graph) while arbitrarily long trajectories run in ONE
         dispatch — essential on remote-attached chips where each dispatch
         costs ~30 ms. ``chunk_pairs <= 0`` restores the fully-unrolled
-        single-vmap form.
+        single-vmap form. Default 1: with per-iteration overhead now low
+        (scatter-free detail recording, unrolled Cholesky), per-pair early
+        termination of the ICF while_loop beats lockstep batching — the
+        measured v5e optimum (176.9 scans/s vs 167.6 at 2, 132.9 at 4).
       motion_init: initialize every pair in chunk ``c`` with the last
         converged relative pose of chunk ``c-1`` (a constant-velocity motion
         prior, as the streaming ``scan_to_scan_step`` uses). Near-constant-

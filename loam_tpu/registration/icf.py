@@ -304,25 +304,32 @@ def _register_impl(
 
         # Record diagnostics (reference records after the solve; an
         # insufficient iteration writes nothing, ``registration-inl.h:45-48``).
+        # Row writes use iota-compare + where instead of scatters: batched
+        # .at[].set ops cost ~100 us EACH on TPU (see features/extract.py) —
+        # six per iteration added real time to the lockstep loop.
         row = jnp.where(insufficient, I, state.i)  # I -> dropped
+        rows = jnp.arange(I, dtype=row.dtype)
+        hit = rows == row  # (I,)
+
+        def put(buf, val):
+            # buf (I, ...) <- val (...) at position `row` (no-op when row==I)
+            h = hit.reshape((I,) + (1,) * (buf.ndim - 1))
+            return jnp.where(h, val[None], buf)
+
         d = state.detail
         detail = IterationInfo(
             target_T_source_init=Pose3(
-                d.target_T_source_init.rotation.at[row].set(est.rotation, mode="drop"),
-                d.target_T_source_init.translation.at[row].set(
-                    est.translation, mode="drop"
-                ),
+                put(d.target_T_source_init.rotation, est.rotation),
+                put(d.target_T_source_init.translation, est.translation),
             ),
             estimate_update=Pose3(
-                d.estimate_update.rotation.at[row].set(delta.rotation, mode="drop"),
-                d.estimate_update.translation.at[row].set(
-                    delta.translation, mode="drop"
-                ),
+                put(d.estimate_update.rotation, delta.rotation),
+                put(d.estimate_update.translation, delta.translation),
             ),
-            edge_match=d.edge_match.at[row].set(ea.match[:Em], mode="drop"),
-            plane_match=d.plane_match.at[row].set(pa.match[:Qm], mode="drop"),
-            edge_count=d.edge_count.at[row].set(n_edge, mode="drop"),
-            plane_count=d.plane_count.at[row].set(n_plane, mode="drop"),
+            edge_match=put(d.edge_match, ea.match[:Em]),
+            plane_match=put(d.plane_match, pa.match[:Qm]),
+            edge_count=jnp.where(hit, n_edge, d.edge_count),
+            plane_count=jnp.where(hit, n_plane, d.plane_count),
         )
 
         return _LoopState(

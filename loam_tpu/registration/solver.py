@@ -122,6 +122,45 @@ def _cost(
     return cost
 
 
+def _chol_solve6(H: jax.Array, g: jax.Array) -> jax.Array:
+    """Solve the damped 6x6 SPD system with a fully unrolled Cholesky.
+
+    ``jnp.linalg.solve`` takes a generic pivoted-LU path (gathers + control
+    flow — slow for tiny batched systems on TPU); an unrolled Cholesky is
+    ~100 fused elementwise ops. H must be SPD (guaranteed by the Marquardt
+    damping with its relative floor).
+    """
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = H[..., j, j]
+        for kk in range(j):
+            d = d - L[j][kk] * L[j][kk]
+        Ljj = jnp.sqrt(jnp.maximum(d, 1e-30))
+        L[j][j] = Ljj
+        inv = 1.0 / Ljj
+        for i in range(j + 1, n):
+            v = H[..., i, j]
+            for kk in range(j):
+                v = v - L[i][kk] * L[j][kk]
+            L[i][j] = v * inv
+    # forward substitution L y = g
+    y = [None] * n
+    for i in range(n):
+        v = g[..., i]
+        for kk in range(i):
+            v = v - L[i][kk] * y[kk]
+        y[i] = v / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        v = y[i]
+        for kk in range(i + 1, n):
+            v = v - L[kk][i] * x[kk]
+        x[i] = v / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def _apply_twist(delta: Pose3, s: jax.Array) -> Pose3:
     """Left-compose the small twist ``s = (theta, dt)`` onto ``delta``."""
     dq = quat_exp(s[..., :3])
@@ -147,11 +186,16 @@ def lm_solve(
     dtype = problem.pts_edge.dtype
     delta0 = Pose3.identity(dtype)
     lam0 = jnp.asarray(1e-4, dtype)
-    cost0 = _cost(problem, delta0, params.huber_delta, params.prior_weight)
 
     def body(carry, _):
-        delta, lam, cost = carry
+        delta, lam = carry
         r, grad, q, mask = _residuals(problem, delta)
+        # current cost from the SAME residual pass that builds J (a separate
+        # up-front _cost evaluation would repeat the full residual sweep)
+        cost = jnp.sum(jnp.where(mask, _huber_rho(r, params.huber_delta), 0.0))
+        if params.prior_weight > 0:
+            xi0 = _prior_xi(problem, delta)
+            cost = cost + params.prior_weight * jnp.sum(xi0 * xi0)
         # J = [q x grad, grad]  (n, 6); zero invalid rows so no masked-slot
         # garbage (0 * nan) can reach the einsum accumulators.
         J = jnp.concatenate([jnp.cross(q, grad), grad], axis=-1)
@@ -175,16 +219,16 @@ def lm_solve(
         # perturbing well-conditioned solves negligibly.
         diag = jnp.diagonal(H)
         damp = lam * diag + 1e-6 * jnp.max(diag) + 1e-10
-        step = -jnp.linalg.solve(H + jnp.diag(damp), g)
+        step = -_chol_solve6(H + jnp.diag(damp), g)
         candidate = _apply_twist(delta, step)
         new_cost = _cost(problem, candidate, params.huber_delta, params.prior_weight)
         accept = new_cost < cost
         delta = jax.tree.map(lambda n, o: jnp.where(accept, n, o), candidate, delta)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-12), jnp.minimum(lam * 4.0, 1e8))
-        return (delta, lam, cost), None
+        return (delta, lam), cost
 
-    (delta, _, cost), _ = lax.scan(
-        body, (delta0, lam0, cost0), None, length=params.inner_iterations
+    (delta, _), costs = lax.scan(
+        body, (delta0, lam0), None, length=params.inner_iterations
     )
-    return delta, cost
+    return delta, costs[-1]
