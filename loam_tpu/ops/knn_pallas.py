@@ -22,6 +22,19 @@ indices), invalid targets (additive +inf mask) never selected.
 from __future__ import annotations
 
 import functools
+import os
+from typing import NamedTuple
+
+# Tile-size knobs (static shapes; env-overridable for hardware sweeps).
+# Defaults are the measured v5e optimum for feature-set-scale searches.
+_TQ = int(os.environ.get("LOAM_KNN_TQ", "512"))
+_TT = int(os.environ.get("LOAM_KNN_TT", "1024"))
+
+# Interpret mode runs the kernel as plain XLA on any backend — slow, but it
+# lets the CPU test suite cover the kernel body + the jit-level prep
+# (padding, bbox ranges, dual-class index remapping) that only executes on
+# TPU in production. Set LOAM_PALLAS_INTERPRET=1 (tests do).
+_INTERPRET = os.environ.get("LOAM_PALLAS_INTERPRET", "0") == "1"
 
 
 import jax
@@ -54,11 +67,15 @@ def _extract_k_rows(d2, row, k):
 
 def _knn_kernel(
     q_ref, t_ref, tinv_ref, bbox_ref, qbox_ref, rng_ref, idx_ref, d2_ref, *,
-    k: int, tt: int, r2_skip: float,
+    k: int, tt: int, r2_skip: float, r2_skip2: float = 0.0,
+    split_tile: int = 0,
 ):
     q = q_ref[...]  # (3, TQ)
     tq = q.shape[1]
     m_total = t_ref.shape[1]
+    # hoisted: program_id inside a lax.cond/fori_loop closure stages the
+    # primitive into the branch jaxpr, which interpret mode can't evaluate
+    tile = pl.program_id(0)
     row = lax.broadcasted_iota(jnp.int32, (tt, tq), 0)
     row2k = lax.broadcasted_iota(jnp.int32, (2 * k, tq), 0)
     qx = q[0][None, :]
@@ -75,7 +92,8 @@ def _knn_kernel(
         dz = t[2][:, None] - qz
         d2 = dx * dx + dy * dy + dz * dz + tinv[:, None]  # (TT, TQ)
         cv, cr = _extract_k_rows(d2, row, k)
-        ci = cr + off
+        # pin int32: under x64 interpret mode the loop index / sum promote
+        ci = (cr + off).astype(jnp.int32)
         # merge running + chunk candidates (running first: lower indices win
         # distance ties, preserving global first-index tie-breaking)
         mv = jnp.concatenate([best_v, cv], axis=0)  # (2k, TQ)
@@ -86,11 +104,23 @@ def _knn_kernel(
             am = jnp.argmin(mv, axis=0).astype(jnp.int32)
             sel = row2k == am[None, :]
             nv.append(m)
-            ni.append(jnp.sum(jnp.where(sel, mi, 0), axis=0))
+            ni.append(jnp.sum(jnp.where(sel, mi, 0), axis=0, dtype=jnp.int32))
             mv = jnp.where(sel, jnp.inf, mv)
         return jnp.stack(nv, axis=0), jnp.stack(ni, axis=0)
 
     if r2_skip > 0:
+        # Dual-class launches give each tile its class's own radius (tiles
+        # below split_tile are edge-class); single-class launches pass
+        # split_tile=0 so every tile uses r2_skip2... except the default
+        # split_tile=0/r2_skip2=0 combination, which keeps plain r2_skip.
+        if split_tile > 0:
+            r2_tile = jnp.where(
+                tile < split_tile,
+                jnp.float32(r2_skip),
+                jnp.float32(r2_skip2),
+            )
+        else:
+            r2_tile = jnp.float32(r2_skip)
 
         def chunk(c, state):
             # Exact chunk culling: scan-ordered targets are spatially
@@ -98,7 +128,6 @@ def _knn_kernel(
             # the radius filter — their entries would be masked out anyway
             # (strict < max_dist), so skipping them changes nothing. All
             # bbox math is SMEM scalar arithmetic.
-            tile = pl.program_id(0)
             sep2 = jnp.float32(0.0)
             for a in range(3):
                 qlo = qbox_ref[tile, a]
@@ -107,7 +136,7 @@ def _knn_kernel(
                 bhi = bbox_ref[0, 6 * c + 3 + a]
                 g = jnp.maximum(jnp.maximum(qlo - bhi, blo - qhi), 0.0)
                 sep2 = sep2 + g * g
-            return lax.cond(sep2 < r2_skip, chunk_work, lambda _, s: s, c, state)
+            return lax.cond(sep2 < r2_tile, chunk_work, lambda _, s: s, c, state)
 
     else:
         chunk = chunk_work
@@ -120,7 +149,6 @@ def _knn_kernel(
         # targets make active chunks near-contiguous, so the per-chunk cond
         # overhead of the full 0..n_chunks sweep (the dominant cost for
         # narrow wedges) collapses to the few chunks that can matter.
-        tile = pl.program_id(0)
         start = rng_ref[tile, 0]
         end = rng_ref[tile, 1]
         best_v, best_i = lax.fori_loop(start, end, chunk, (best_v, best_i))
@@ -139,8 +167,8 @@ def knn_pallas(
     target_mask: jax.Array,
     k: int,
     max_dist: float = 0.0,
-    tq: int = 512,
-    tt: int = 1024,
+    tq: int = _TQ,
+    tt: int = _TT,
 ):
     """Drop-in equivalent of ``bruteforce.knn`` on TPU (f32).
 
@@ -232,6 +260,7 @@ def knn_pallas(
             jax.ShapeDtypeStruct((k, qpad), jnp.int32),
             jax.ShapeDtypeStruct((k, qpad), jnp.float32),
         ],
+        interpret=_INTERPRET,
     )(qT, tT, tinv, bbox, qbox, ranges)
 
     idx = idx[:, :Q].T
@@ -241,3 +270,252 @@ def knn_pallas(
     if max_dist > 0:
         valid = valid & (dist < max_dist)
     return KnnResult(idx, jnp.where(valid, dist, jnp.inf), valid)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k_edge", "k_plane", "max_dist_edge", "max_dist_plane", "tq", "tt"
+    ),
+)
+def knn_pallas_dual(
+    q_edge: jax.Array,
+    q_plane: jax.Array,
+    t_edge: jax.Array,
+    t_edge_mask: jax.Array,
+    t_plane: jax.Array,
+    t_plane_mask: jax.Array,
+    k_edge: int,
+    k_plane: int,
+    max_dist_edge: float,
+    max_dist_plane: float,
+    tq: int = _TQ,
+    tt: int = _TT,
+):
+    """Both per-iteration searches of the ICF loop in ONE kernel launch.
+
+    Edge queries search edge targets, planar queries search planar targets —
+    the two calls the reference issues per iteration against its two KD-trees
+    (``registration-inl.h:20-23``). Fusing them halves the per-iteration
+    launch/prologue overhead and lets short edge tiles ride along with the
+    large planar grid instead of paying their own launch.
+
+    Class separation costs nothing extra: queries and targets are padded to
+    tile/chunk multiples PER CLASS and concatenated (edges first), so every
+    query tile and every target chunk is single-class, and the per-tile
+    active chunk ranges (already computed for bbox culling) are simply
+    intersected with the tile's class block. The kernel itself is unchanged.
+
+    Both radius filters must be positive (they are the class-restriction
+    mechanism's partner: a candidate from a wrong-class chunk can never
+    appear because such chunks are outside every range). Returns
+    ``(KnnResult_edges, KnnResult_planes)`` with (E, k_edge) / (P, k_plane)
+    leaves, exactly equal to two separate ``knn_pallas`` calls.
+    """
+    prep = knn_dual_prep(t_edge, t_edge_mask, t_plane, t_plane_mask, tt=tt)
+    return knn_dual_run(
+        prep,
+        q_edge,
+        q_plane,
+        k_edge,
+        k_plane,
+        max_dist_edge,
+        max_dist_plane,
+        tq=tq,
+    )
+
+
+class DualTargetPrep(NamedTuple):
+    """Target-side state of :func:`knn_pallas_dual`, built once per target.
+
+    The ICF loop's targets are fixed across outer iterations (the reference
+    builds its two KD-trees once, ``registration-inl.h:20-23``); splitting
+    prep from run keeps the padded/concatenated target block, its +inf
+    invalidation row, and the per-chunk bounding boxes OUTSIDE the
+    ``while_loop`` body — only the query-dependent work recurs.
+
+    Int fields are Python ints (static shape metadata). The tuple must stay
+    within one trace — don't pass it across a jit boundary (the ints would
+    be treated as traced pytree leaves).
+    """
+
+    tT: jax.Array  # (3, mpad) padded concat targets, edges first
+    tinv: jax.Array  # (1, mpad) additive +inf invalidation
+    bbox: jax.Array  # (1, n_chunks*6) per-chunk [lo3, hi3] (SMEM layout)
+    blo: jax.Array  # (3, n_chunks)
+    bhi: jax.Array  # (3, n_chunks)
+    n_edge: int  # Me: true edge target count
+    mepad: int  # padded edge block length (planar indices offset)
+    tt: int  # chunk length the boxes were built with
+
+
+def knn_dual_prep(
+    t_edge: jax.Array,
+    t_edge_mask: jax.Array,
+    t_plane: jax.Array,
+    t_plane_mask: jax.Array,
+    tt: int = _TT,
+) -> DualTargetPrep:
+    """Build the loop-invariant target state for :func:`knn_dual_run`."""
+    dtype = jnp.float32
+    Me, Mp = t_edge.shape[0], t_plane.shape[0]
+    mepad = max(-(-Me // tt) * tt, tt)
+    mppad = max(-(-Mp // tt) * tt, tt)
+    mpad = mepad + mppad
+
+    # prep is pad+concat only (static-shape pads fuse; no update-slices)
+    tT = _padcat(t_edge.astype(dtype).T, t_plane.astype(dtype).T, mepad, mppad)
+    inf = jnp.asarray(jnp.inf, dtype)
+    tinv = _padcat(
+        jnp.where(t_edge_mask, 0.0, inf)[None],
+        jnp.where(t_plane_mask, 0.0, inf)[None],
+        mepad,
+        mppad,
+        fill=jnp.inf,
+    )
+
+    n_chunks = mpad // tt
+    big = jnp.asarray(3e37, dtype)
+    tvalid = jnp.isfinite(tinv[0])
+    tch = tT.reshape(3, n_chunks, tt)
+    vch = tvalid.reshape(n_chunks, tt)[None]
+    blo = jnp.min(jnp.where(vch, tch, big), axis=2)
+    bhi = jnp.max(jnp.where(vch, tch, -big), axis=2)
+    bbox = jnp.concatenate([blo, bhi], axis=0).T.reshape(1, n_chunks * 6)
+    return DualTargetPrep(tT, tinv, bbox, blo, bhi, Me, mepad, tt)
+
+
+def _padcat(a, b, na, nb, fill=0.0):
+    return jnp.concatenate(
+        [
+            jnp.pad(a, ((0, 0), (0, na - a.shape[1])), constant_values=fill),
+            jnp.pad(b, ((0, 0), (0, nb - b.shape[1])), constant_values=fill),
+        ],
+        axis=1,
+    )
+
+
+def knn_dual_run(
+    prep: DualTargetPrep,
+    q_edge: jax.Array,
+    q_plane: jax.Array,
+    k_edge: int,
+    k_plane: int,
+    max_dist_edge: float,
+    max_dist_plane: float,
+    tq: int = _TQ,
+):
+    """Query-side half of :func:`knn_pallas_dual` (see its docstring)."""
+    from ..neighbors.bruteforce import KnnResult
+
+    assert max_dist_edge > 0 and max_dist_plane > 0
+    k = max(k_edge, k_plane)
+    dtype = jnp.float32
+    E, P = q_edge.shape[0], q_plane.shape[0]
+    epad = -(-E // tq) * tq
+    ppad = -(-P // tq) * tq
+    qpad = epad + ppad
+    tt = prep.tt
+    mepad = prep.mepad
+    mpad = prep.tT.shape[1]
+    tT, tinv, bbox, blo, bhi = prep.tT, prep.tinv, prep.bbox, prep.blo, prep.bhi
+
+    qT = _padcat(q_edge.astype(dtype).T, q_plane.astype(dtype).T, epad, ppad)
+
+    n_chunks = mpad // tt
+    n_tiles = qpad // tq
+    ne_chunks = mepad // tt
+    ne_tiles = epad // tq
+    big = jnp.asarray(3e37, dtype)
+    ar = jnp.arange(qpad)
+    qvalid = (ar < E) | ((ar >= epad) & (ar < epad + P))
+    qch = qT.reshape(3, n_tiles, tq)
+    qvch = qvalid.reshape(1, n_tiles, tq)
+    qlo = jnp.min(jnp.where(qvch, qch, big), axis=2)
+    qhi = jnp.max(jnp.where(qvch, qch, -big), axis=2)
+    qbox = jnp.concatenate([qlo, qhi], axis=0).T  # (n_tiles, 6)
+
+    # Per-tile active chunk range: bbox separation vs the TILE's class
+    # radius, intersected with the tile's class block. Every chunk inside a
+    # resulting range is same-class, so the kernel needs no class logic.
+    gap = jnp.maximum(
+        jnp.maximum(
+            qlo.T[:, None, :] - bhi.T[None, :, :],
+            blo.T[None, :, :] - qhi.T[:, None, :],
+        ),
+        0.0,
+    )  # (n_tiles, n_chunks, 3)
+    sep2 = jnp.sum(gap * gap, axis=-1)
+    tile_is_edge = jnp.arange(n_tiles) < ne_tiles
+    chunk_is_edge = jnp.arange(n_chunks) < ne_chunks
+    r2_tile = jnp.where(
+        tile_is_edge,
+        jnp.asarray(float(max_dist_edge) ** 2, dtype),
+        jnp.asarray(float(max_dist_plane) ** 2, dtype),
+    )
+    active = (sep2 < r2_tile[:, None]) & (
+        tile_is_edge[:, None] == chunk_is_edge[None, :]
+    )
+    has = jnp.any(active, axis=1)
+    first = jnp.argmax(active, axis=1).astype(jnp.int32)
+    last = n_chunks - 1 - jnp.argmax(active[:, ::-1], axis=1).astype(jnp.int32)
+    ranges = jnp.stack(
+        [jnp.where(has, first, 0), jnp.where(has, last + 1, 0)], axis=1
+    )
+
+    # In-kernel per-chunk cond re-tests separation with the TILE's own class
+    # radius (tiles below ne_tiles are edge-class) — same culling power as
+    # two separate launches.
+    if ne_tiles > 0:
+        kern = functools.partial(
+            _knn_kernel,
+            k=k,
+            tt=tt,
+            r2_skip=float(max_dist_edge) ** 2,
+            r2_skip2=float(max_dist_plane) ** 2,
+            split_tile=ne_tiles,
+        )
+    else:  # no edge queries: every tile is planar-class
+        kern = functools.partial(
+            _knn_kernel, k=k, tt=tt, r2_skip=float(max_dist_plane) ** 2
+        )
+    idx, d2 = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((3, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, n_chunks * 6), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (n_tiles, 6), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (n_tiles, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((k, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, qpad), jnp.int32),
+            jax.ShapeDtypeStruct((k, qpad), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(qT, tT, tinv, bbox, qbox, ranges)
+
+    def unpack(off, n, kc, max_dist, idx_off):
+        i = idx[:kc, off : off + n].T  # (n, kc) ascending => first kc nearest
+        v = d2[:kc, off : off + n].T
+        dist = jnp.sqrt(jnp.maximum(v, 0.0))
+        valid = jnp.isfinite(v) & (dist < max_dist)
+        i = jnp.where(valid, i - idx_off, 0)
+        return KnnResult(i, jnp.where(valid, dist, jnp.inf), valid)
+
+    return (
+        unpack(0, E, k_edge, max_dist_edge, 0),
+        unpack(epad, P, k_plane, max_dist_plane, mepad),
+    )

@@ -234,6 +234,43 @@ def _register_impl(
     else:
         edge_knn = plane_knn = None
 
+    # Optional fused path: both searches in ONE Pallas launch per iteration
+    # (the reference issues two KD-tree queries per iteration,
+    # ``registration-inl.h:28-41``). Measured on v5e: NEUTRAL at
+    # scan-to-scan scale and ~8% SLOWER at map scale (149 -> 137 scans/s;
+    # the merged grid loses more than the saved launch), so it stays off
+    # unless LOAM_ICF_DUAL_KNN=1. Kept because the break-even moves with
+    # hardware generation and launch overhead.
+    dual_knn = None
+    if (
+        pallas_active
+        and custom_knn is None
+        and not use_grid
+        and os.environ.get("LOAM_ICF_DUAL_KNN", "0") == "1"
+    ):
+        from ..ops.knn_pallas import knn_dual_prep, knn_dual_run
+
+        # target-side prep (pad/concat, chunk bboxes) hoisted above the
+        # while_loop — targets are fixed across outer iterations, like the
+        # reference's build-once KD-trees (``registration-inl.h:20-23``)
+        dual_prep = knn_dual_prep(
+            target.edge_points,
+            target.edge_mask,
+            target.planar_points,
+            target.planar_mask,
+        )
+
+        def dual_knn(qe, qp):
+            return knn_dual_run(
+                dual_prep,
+                qe,
+                qp,
+                params.num_edge_neighbors,
+                params.num_plane_neighbors,
+                params.max_edge_neighbor_dist,
+                params.max_plane_neighbor_dist,
+            )
+
     def cond(state: _LoopState):
         return (state.i < I) & ~state.done
 
@@ -241,8 +278,12 @@ def _register_impl(
         est = state.est
         qe = est.act(source.edge_points)
         qp = est.act(source.planar_points)
-        e_res, e_nbr = edge_knn(qe) if edge_knn is not None else (None, None)
-        p_res, p_nbr = plane_knn(qp) if plane_knn is not None else (None, None)
+        if dual_knn is not None:
+            e_res, p_res = dual_knn(qe, qp)
+            e_nbr = p_nbr = None
+        else:
+            e_res, e_nbr = edge_knn(qe) if edge_knn is not None else (None, None)
+            p_res, p_nbr = plane_knn(qp) if plane_knn is not None else (None, None)
         ea = associate_edges(
             qe,
             source.edge_mask,

@@ -11,6 +11,12 @@ initialized.
 
 import os
 
+# Pallas kernels run in interpret mode (plain XLA) on CPU so the suite can
+# cover the kernel body + jit-level prep; must be set before the module
+# reads it at import time. Pipeline dispatch still takes the XLA path on
+# CPU (``pallas_supported()`` is False) — only direct kernel tests use this.
+os.environ.setdefault("LOAM_PALLAS_INTERPRET", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,96 @@
+"""Pallas kNN kernel tests, run in interpret mode on CPU.
+
+``conftest.py`` sets ``LOAM_PALLAS_INTERPRET=1`` before import, so the
+kernel body and all jit-level prep (padding, bbox chunk ranges, dual-class
+index remapping) execute as plain XLA here — the same program the TPU runs,
+minus Mosaic lowering. Semantics target: exact equality with the XLA
+brute-force path (``bruteforce._knn_xla``), which is itself oracle-tested in
+``test_neighbors.py`` against the reference's KD-tree semantics
+(``/root/reference/loam/src/kdtree.cpp:10-28``).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from loam_tpu.neighbors.bruteforce import _knn_xla
+from loam_tpu.ops.knn_pallas import knn_pallas, knn_pallas_dual
+
+
+def _sets(seed, m, q, spread=5.0):
+    rng = np.random.default_rng(seed)
+    targets = rng.uniform(-spread, spread, size=(m, 3)).astype(np.float32)
+    mask = rng.random(m) > 0.15
+    queries = rng.uniform(-spread, spread, size=(q, 3)).astype(np.float32)
+    return (
+        jnp.asarray(queries),
+        jnp.asarray(targets),
+        jnp.asarray(mask),
+    )
+
+
+def _assert_same(res, ref):
+    np.testing.assert_array_equal(np.asarray(res.mask), np.asarray(ref.mask))
+    m = np.asarray(ref.mask)
+    np.testing.assert_array_equal(
+        np.asarray(res.indices)[m], np.asarray(ref.indices)[m]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.distances)[m], np.asarray(ref.distances)[m]
+    )
+
+
+@pytest.mark.parametrize("max_dist", [0.0, 1.5])
+@pytest.mark.parametrize("m,q", [(700, 300), (2100, 1100)])
+def test_kernel_matches_xla(max_dist, m, q):
+    queries, targets, mask = _sets(3, m, q)
+    res = knn_pallas(queries, targets, mask, 5, max_dist, tq=256, tt=512)
+    ref = _knn_xla(queries, targets, mask, 5, max_dist)
+    _assert_same(res, ref)
+
+
+def test_kernel_k1_and_large_k():
+    queries, targets, mask = _sets(4, 900, 200)
+    for k in (1, 8):
+        res = knn_pallas(queries, targets, mask, k, 2.0, tq=256, tt=512)
+        ref = _knn_xla(queries, targets, mask, k, 2.0)
+        _assert_same(res, ref)
+
+
+def test_dual_matches_two_singles():
+    """The fused edge+plane search must equal two independent searches —
+    the contract the ICF loop relies on (one launch per iteration)."""
+    qe, te, me = _sets(5, 1100, 400)
+    qp, tp, mp = _sets(6, 2600, 900)
+    k_e, k_p, d_e, d_p = 5, 5, 1.0, 2.0
+    re_ref = _knn_xla(qe, te, me, k_e, d_e)
+    rp_ref = _knn_xla(qp, tp, mp, k_p, d_p)
+    re, rp = knn_pallas_dual(
+        qe, qp, te, me, tp, mp, k_e, k_p, d_e, d_p, tq=256, tt=512
+    )
+    _assert_same(re, re_ref)
+    _assert_same(rp, rp_ref)
+
+
+def test_dual_distinct_k():
+    """Different per-class k: planar side truncates to its own k exactly."""
+    qe, te, me = _sets(7, 600, 150)
+    qp, tp, mp = _sets(8, 1500, 500)
+    re, rp = knn_pallas_dual(
+        qe, qp, te, me, tp, mp, 3, 7, 1.2, 2.2, tq=256, tt=512
+    )
+    _assert_same(re, _knn_xla(qe, te, me, 3, 1.2))
+    _assert_same(rp, _knn_xla(qp, tp, mp, 7, 2.2))
+
+
+def test_dual_empty_class():
+    """An all-invalid edge side must not perturb the planar results."""
+    qe, te, _ = _sets(9, 300, 80)
+    me = jnp.zeros(te.shape[0], bool)
+    qp, tp, mp = _sets(10, 1200, 400)
+    re, rp = knn_pallas_dual(
+        qe, qp, te, me, tp, mp, 5, 5, 1.0, 2.0, tq=256, tt=512
+    )
+    assert not bool(re.mask.any())
+    _assert_same(rp, _knn_xla(qp, tp, mp, 5, 2.0))
