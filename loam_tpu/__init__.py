@@ -49,6 +49,7 @@ from .odometry import (
     scan_to_map_init,
     scan_to_map_offline,
     scan_to_map_step,
+    scan_to_map_step_features,
     scan_to_scan_init,
     scan_to_scan_step,
 )
@@ -79,6 +80,7 @@ __all__ = [
     "scan_to_map_init",
     "scan_to_map_offline",
     "scan_to_map_step",
+    "scan_to_map_step_features",
     "scan_to_scan_init",
     "scan_to_scan_step",
     "dewarp_scan",

@@ -22,6 +22,7 @@ from .scan_to_map import (
     scan_to_map_init,
     scan_to_map_offline,
     scan_to_map_step,
+    scan_to_map_step_features,
 )
 from .scan_to_scan import ScanToScanState, scan_to_scan_init, scan_to_scan_step
 
@@ -33,6 +34,7 @@ __all__ = [
     "scan_to_map_init",
     "scan_to_map_offline",
     "scan_to_map_step",
+    "scan_to_map_step_features",
     "default_map_reg_params",
     "scan_to_scan_init",
     "scan_to_scan_step",

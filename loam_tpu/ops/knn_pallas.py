@@ -66,9 +66,8 @@ def _extract_k_rows(d2, row, k):
 
 
 def _knn_kernel(
-    q_ref, t_ref, tinv_ref, bbox_ref, qbox_ref, rng_ref, idx_ref, d2_ref, *,
-    k: int, tt: int, r2_skip: float, r2_skip2: float = 0.0,
-    split_tile: int = 0,
+    q_ref, t_ref, tinv_ref, cnt_ref, lst_ref, idx_ref, d2_ref, *,
+    k: int, tt: int, use_list: bool,
 ):
     q = q_ref[...]  # (3, TQ)
     tq = q.shape[1]
@@ -108,53 +107,26 @@ def _knn_kernel(
             mv = jnp.where(sel, jnp.inf, mv)
         return jnp.stack(nv, axis=0), jnp.stack(ni, axis=0)
 
-    if r2_skip > 0:
-        # Dual-class launches give each tile its class's own radius (tiles
-        # below split_tile are edge-class); single-class launches pass
-        # split_tile=0 so every tile uses r2_skip2... except the default
-        # split_tile=0/r2_skip2=0 combination, which keeps plain r2_skip.
-        if split_tile > 0:
-            r2_tile = jnp.where(
-                tile < split_tile,
-                jnp.float32(r2_skip),
-                jnp.float32(r2_skip2),
-            )
-        else:
-            r2_tile = jnp.float32(r2_skip)
-
-        def chunk(c, state):
-            # Exact chunk culling: scan-ordered targets are spatially
-            # coherent, so most chunks' bounding boxes lie entirely beyond
-            # the radius filter — their entries would be masked out anyway
-            # (strict < max_dist), so skipping them changes nothing. All
-            # bbox math is SMEM scalar arithmetic.
-            sep2 = jnp.float32(0.0)
-            for a in range(3):
-                qlo = qbox_ref[tile, a]
-                qhi = qbox_ref[tile, 3 + a]
-                blo = bbox_ref[0, 6 * c + a]
-                bhi = bbox_ref[0, 6 * c + 3 + a]
-                g = jnp.maximum(jnp.maximum(qlo - bhi, blo - qhi), 0.0)
-                sep2 = sep2 + g * g
-            return lax.cond(sep2 < r2_tile, chunk_work, lambda _, s: s, c, state)
-
-    else:
-        chunk = chunk_work
-
     best_v = jnp.full((k, tq), jnp.inf, jnp.float32)
     best_i = jnp.zeros((k, tq), jnp.int32)
-    if r2_skip > 0:
-        # loop only over this tile's active chunk RANGE (precomputed at the
-        # jit level from the same bbox test): azimuth/spatially sorted
-        # targets make active chunks near-contiguous, so the per-chunk cond
-        # overhead of the full 0..n_chunks sweep (the dominant cost for
-        # narrow wedges) collapses to the few chunks that can matter.
-        start = rng_ref[tile, 0]
-        end = rng_ref[tile, 1]
-        best_v, best_i = lax.fori_loop(start, end, chunk, (best_v, best_i))
+    if use_list:
+        # Iterate EXACTLY this tile's active chunks, from the per-tile list
+        # precomputed at the jit level (chunks whose bounding box lies
+        # entirely beyond the radius filter are absent — their candidates
+        # would be masked out anyway, strict < max_dist). Lists are
+        # ascending, preserving global first-index tie-breaking. Compared
+        # with the earlier contiguous [start, end) range + in-kernel bbox
+        # cond, lists need no spatial-ordering alignment between query
+        # tiles and target chunks and spend zero in-kernel work on culling.
+        def chunk(j, state):
+            return chunk_work(lst_ref[tile, j], state)
+
+        best_v, best_i = lax.fori_loop(
+            0, cnt_ref[tile, 0], chunk, (best_v, best_i)
+        )
     else:
         best_v, best_i = lax.fori_loop(
-            0, m_total // tt, chunk, (best_v, best_i)
+            0, m_total // tt, chunk_work, (best_v, best_i)
         )
     idx_ref[...] = best_i
     d2_ref[...] = best_v
@@ -190,7 +162,7 @@ def knn_pallas(
     tinv = tinv.at[0, :M].set(jnp.where(target_mask, 0.0, jnp.inf))
 
     # per-chunk target bounding boxes + per-tile query bounding boxes for
-    # exact radius culling (layout: [lo_x, lo_y, lo_z, hi_x, hi_y, hi_z])
+    # exact radius culling
     n_chunks = mpad // tt
     n_tiles = qpad // tq
     big = jnp.asarray(3e37, dtype)
@@ -199,19 +171,16 @@ def knn_pallas(
     vch = tvalid.reshape(n_chunks, tt)[None]
     blo = jnp.min(jnp.where(vch, tch, big), axis=2)  # (3, n_chunks)
     bhi = jnp.max(jnp.where(vch, tch, -big), axis=2)
-    bbox = jnp.concatenate([blo, bhi], axis=0)  # (6, n_chunks)
-    bbox = bbox.T.reshape(1, n_chunks * 6)
     qch = qT.reshape(3, n_tiles, tq)
     qvalid = jnp.zeros((qpad,), bool).at[:Q].set(True).reshape(1, n_tiles, tq)
     qlo = jnp.min(jnp.where(qvalid, qch, big), axis=2)  # (3, n_tiles)
     qhi = jnp.max(jnp.where(qvalid, qch, -big), axis=2)
-    qbox = jnp.concatenate([qlo, qhi], axis=0).T  # (n_tiles, 6)
 
-    # Per-tile active chunk range [start, end): the same separation test the
-    # kernel applies per chunk, vectorized here over (tiles, chunks). Sorted
-    # input order makes the active set near-contiguous; the covering range
-    # may include a few inactive interior chunks (e.g. at the +-pi azimuth
-    # wrap), which the kernel's per-chunk cond still skips cheaply.
+    # Per-tile ACTIVE CHUNK LIST: the exact set of chunks whose bounding box
+    # is within the radius of the tile's query box (anything else cannot
+    # contribute a match under the strict < max_dist filter). Packed left in
+    # ascending chunk order via a stable argsort of the inactive flags —
+    # ascending order preserves global first-index tie-breaking.
     r2 = float(max_dist) ** 2 if max_dist > 0 else 0.0
     if r2 > 0:
         gap = jnp.maximum(
@@ -223,33 +192,25 @@ def knn_pallas(
         )  # (n_tiles, n_chunks, 3)
         sep2 = jnp.sum(gap * gap, axis=-1)
         active = sep2 < jnp.asarray(r2, dtype)  # (n_tiles, n_chunks)
-        has = jnp.any(active, axis=1)
-        first = jnp.argmax(active, axis=1).astype(jnp.int32)
-        last = (
-            n_chunks - 1 - jnp.argmax(active[:, ::-1], axis=1).astype(jnp.int32)
-        )
-        start = jnp.where(has, first, 0)
-        end = jnp.where(has, last + 1, 0)
-        ranges = jnp.stack([start, end], axis=1)  # (n_tiles, 2) int32
+        lst = jnp.argsort(~active, axis=1, stable=True).astype(jnp.int32)
+        cnt = jnp.sum(active, axis=1, dtype=jnp.int32)[:, None]
     else:
-        ranges = jnp.zeros((n_tiles, 2), jnp.int32)
+        lst = jnp.zeros((n_tiles, n_chunks), jnp.int32)
+        cnt = jnp.zeros((n_tiles, 1), jnp.int32)
 
     grid = (n_tiles,)
     idx, d2 = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, tt=tt, r2_skip=r2),
+        functools.partial(_knn_kernel, k=k, tt=tt, use_list=r2 > 0),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, n_chunks * 6), lambda i: (0, 0), memory_space=pltpu.SMEM
+                (n_tiles, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (n_tiles, 6), lambda i: (0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (n_tiles, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
+                (n_tiles, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
         ],
         out_specs=[
@@ -261,7 +222,7 @@ def knn_pallas(
             jax.ShapeDtypeStruct((k, qpad), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(qT, tT, tinv, bbox, qbox, ranges)
+    )(qT, tT, tinv, cnt, lst)
 
     idx = idx[:, :Q].T
     d2 = d2[:, :Q].T
@@ -341,8 +302,7 @@ class DualTargetPrep(NamedTuple):
 
     tT: jax.Array  # (3, mpad) padded concat targets, edges first
     tinv: jax.Array  # (1, mpad) additive +inf invalidation
-    bbox: jax.Array  # (1, n_chunks*6) per-chunk [lo3, hi3] (SMEM layout)
-    blo: jax.Array  # (3, n_chunks)
+    blo: jax.Array  # (3, n_chunks) per-chunk bbox lows
     bhi: jax.Array  # (3, n_chunks)
     n_edge: int  # Me: true edge target count
     mepad: int  # padded edge block length (planar indices offset)
@@ -381,8 +341,7 @@ def knn_dual_prep(
     vch = tvalid.reshape(n_chunks, tt)[None]
     blo = jnp.min(jnp.where(vch, tch, big), axis=2)
     bhi = jnp.max(jnp.where(vch, tch, -big), axis=2)
-    bbox = jnp.concatenate([blo, bhi], axis=0).T.reshape(1, n_chunks * 6)
-    return DualTargetPrep(tT, tinv, bbox, blo, bhi, Me, mepad, tt)
+    return DualTargetPrep(tT, tinv, blo, bhi, Me, mepad, tt)
 
 
 def _padcat(a, b, na, nb, fill=0.0):
@@ -418,7 +377,7 @@ def knn_dual_run(
     tt = prep.tt
     mepad = prep.mepad
     mpad = prep.tT.shape[1]
-    tT, tinv, bbox, blo, bhi = prep.tT, prep.tinv, prep.bbox, prep.blo, prep.bhi
+    tT, tinv, blo, bhi = prep.tT, prep.tinv, prep.blo, prep.bhi
 
     qT = _padcat(q_edge.astype(dtype).T, q_plane.astype(dtype).T, epad, ppad)
 
@@ -433,11 +392,10 @@ def knn_dual_run(
     qvch = qvalid.reshape(1, n_tiles, tq)
     qlo = jnp.min(jnp.where(qvch, qch, big), axis=2)
     qhi = jnp.max(jnp.where(qvch, qch, -big), axis=2)
-    qbox = jnp.concatenate([qlo, qhi], axis=0).T  # (n_tiles, 6)
 
-    # Per-tile active chunk range: bbox separation vs the TILE's class
-    # radius, intersected with the tile's class block. Every chunk inside a
-    # resulting range is same-class, so the kernel needs no class logic.
+    # Per-tile active chunk list: bbox separation vs the TILE's class
+    # radius, intersected with the tile's class block. Every chunk in a
+    # resulting list is same-class, so the kernel needs no class logic.
     gap = jnp.maximum(
         jnp.maximum(
             qlo.T[:, None, :] - bhi.T[None, :, :],
@@ -456,44 +414,21 @@ def knn_dual_run(
     active = (sep2 < r2_tile[:, None]) & (
         tile_is_edge[:, None] == chunk_is_edge[None, :]
     )
-    has = jnp.any(active, axis=1)
-    first = jnp.argmax(active, axis=1).astype(jnp.int32)
-    last = n_chunks - 1 - jnp.argmax(active[:, ::-1], axis=1).astype(jnp.int32)
-    ranges = jnp.stack(
-        [jnp.where(has, first, 0), jnp.where(has, last + 1, 0)], axis=1
-    )
+    lst = jnp.argsort(~active, axis=1, stable=True).astype(jnp.int32)
+    cnt = jnp.sum(active, axis=1, dtype=jnp.int32)[:, None]
 
-    # In-kernel per-chunk cond re-tests separation with the TILE's own class
-    # radius (tiles below ne_tiles are edge-class) — same culling power as
-    # two separate launches.
-    if ne_tiles > 0:
-        kern = functools.partial(
-            _knn_kernel,
-            k=k,
-            tt=tt,
-            r2_skip=float(max_dist_edge) ** 2,
-            r2_skip2=float(max_dist_plane) ** 2,
-            split_tile=ne_tiles,
-        )
-    else:  # no edge queries: every tile is planar-class
-        kern = functools.partial(
-            _knn_kernel, k=k, tt=tt, r2_skip=float(max_dist_plane) ** 2
-        )
     idx, d2 = pl.pallas_call(
-        kern,
+        functools.partial(_knn_kernel, k=k, tt=tt, use_list=True),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((3, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, n_chunks * 6), lambda i: (0, 0), memory_space=pltpu.SMEM
+                (n_tiles, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (n_tiles, 6), lambda i: (0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (n_tiles, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
+                (n_tiles, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
         ],
         out_specs=[
@@ -505,7 +440,7 @@ def knn_dual_run(
             jax.ShapeDtypeStruct((k, qpad), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(qT, tT, tinv, bbox, qbox, ranges)
+    )(qT, tT, tinv, cnt, lst)
 
     def unpack(off, n, kc, max_dist, idx_off):
         i = idx[:kc, off : off + n].T  # (n, kc) ascending => first kc nearest

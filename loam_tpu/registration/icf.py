@@ -66,6 +66,34 @@ def azimuth_sort_features(fs: FeatureSet) -> FeatureSet:
     return _permute_features(fs, e, p)
 
 
+def spatial_sort_features(fs: FeatureSet, cell_size: float = 1.0) -> FeatureSet:
+    """Return ``fs`` with edge/planar slots Morton-sorted (sensor frame).
+
+    Morton (Z-order) sorting makes every contiguous block of slots a compact
+    3-D blob, so the Pallas kNN kernel's per-tile query bounding boxes stay
+    small against ANY target — in particular the voxel map, whose key-sorted
+    storage is itself Morton-ordered. Rigid motion preserves compactness, so
+    sorting in the sensor frame works regardless of the world pose. (Azimuth
+    sorting, the right choice when BOTH sides are single scans, produces
+    radially long wedges whose boxes span the full range.)
+    """
+    from ..ops.morton import morton_key
+
+    def perm(points, mask):
+        key = jnp.where(
+            mask,
+            morton_key(points, cell_size),
+            jnp.iinfo(jnp.int32).max,
+        )
+        return jnp.argsort(key).astype(jnp.int32)
+
+    return _permute_features(
+        fs,
+        perm(fs.edge_points, fs.edge_mask),
+        perm(fs.planar_points, fs.planar_mask),
+    )
+
+
 def _azimuth_perm(points: jax.Array, mask: jax.Array) -> jax.Array:
     """Permutation sorting valid slots by azimuth (invalid slots last).
 
