@@ -37,7 +37,7 @@ from .features import (
     extract_features,
     feature_set_from_points,
 )
-from . import checkpoint, evaluation, loop_closure, pose_graph
+from . import checkpoint, debug, evaluation, loop_closure, pose_graph
 from .dewarp import dewarp_scan
 from .map import VoxelMap, voxel_map_empty, voxel_map_insert
 from .neighbors import knn

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..debug import tap_finite
 from ..features.types import FeatureSet
 from ..geometry import Pose3, quat_multiply, quat_normalize, quat_rotate
 from ..neighbors import build_grid, knn_grid
@@ -351,6 +352,13 @@ def _register_impl(
         new_est = Pose3(
             quat_normalize(quat_multiply(delta.rotation, est.rotation)),
             quat_rotate(delta.rotation, est.translation) + delta.translation,
+        )
+        # LOAM_DEBUG_NANS=1 stages per-iteration poisoning checks into the
+        # loop (no-op otherwise); see loam_tpu/debug.py.
+        tap_finite(
+            {"delta": delta, "est": new_est, "lines": ea.line_a,
+             "planes": pa.normal},
+            where="icf.iteration",
         )
         angle = _angle_from_identity(delta.rotation)
         shift = jnp.linalg.norm(delta.translation, axis=-1)
