@@ -25,10 +25,25 @@ import functools
 import os
 from typing import NamedTuple
 
-# Tile-size knobs (static shapes; env-overridable for hardware sweeps).
-# Defaults are the measured v5e optimum for feature-set-scale searches.
-_TQ = int(os.environ.get("LOAM_KNN_TQ", "512"))
-_TT = int(os.environ.get("LOAM_KNN_TT", "1024"))
+# Tile-size knobs (static shapes; env overrides for hardware sweeps; unset
+# means auto-select per target size, see _auto_tiles).
+_TQ = os.environ.get("LOAM_KNN_TQ")
+_TT = os.environ.get("LOAM_KNN_TT")
+
+
+def _auto_tiles(m: int) -> tuple:
+    """Measured v5e optimum (scripts/knn_tile_sweep.py, active-list kernel).
+
+    Target chunks of 256 win at every scale now that culling is decided
+    entirely at the jit level (finer chunks = sharper culling, and the
+    per-chunk loop overhead the old in-kernel cond added is gone). Query
+    tiles: bigger tiles amortize the chunk loop until the tile's bounding
+    box grows enough to activate extra chunks — the crossover sits near map
+    scale (19.5k x 131k: tq=512 beats 1024 by 14%; 19.5k x 19.5k: tq=1024
+    beats 512 by 6%).
+    """
+    tq = 512 if m >= 32768 else 1024
+    return tq, 256
 
 # Interpret mode runs the kernel as plain XLA on any backend — slow, but it
 # lets the CPU test suite cover the kernel body + the jit-level prep
@@ -139,18 +154,23 @@ def knn_pallas(
     target_mask: jax.Array,
     k: int,
     max_dist: float = 0.0,
-    tq: int = _TQ,
-    tt: int = _TT,
+    tq: int = None,
+    tt: int = None,
 ):
     """Drop-in equivalent of ``bruteforce.knn`` on TPU (f32).
 
     Returns a ``KnnResult``-compatible (indices, distances, mask) tuple (the
     caller wraps it; import cycle keeps the type in ``bruteforce``).
+    ``tq``/``tt`` default to the measured per-scale optimum (``_auto_tiles``;
+    ``LOAM_KNN_TQ``/``LOAM_KNN_TT`` override).
     """
     from ..neighbors.bruteforce import KnnResult
 
     Q = queries.shape[0]
     M = targets.shape[0]
+    atq, att = _auto_tiles(M)
+    tq = tq or int(_TQ or atq)
+    tt = tt or int(_TT or att)
     dtype = jnp.float32
     qpad = -(-Q // tq) * tq
     mpad = max(-(-M // tt) * tt, tt)
@@ -250,8 +270,8 @@ def knn_pallas_dual(
     k_plane: int,
     max_dist_edge: float,
     max_dist_plane: float,
-    tq: int = _TQ,
-    tt: int = _TT,
+    tq: int = None,
+    tt: int = None,
 ):
     """Both per-iteration searches of the ICF loop in ONE kernel launch.
 
@@ -314,11 +334,12 @@ def knn_dual_prep(
     t_edge_mask: jax.Array,
     t_plane: jax.Array,
     t_plane_mask: jax.Array,
-    tt: int = _TT,
+    tt: int = None,
 ) -> DualTargetPrep:
     """Build the loop-invariant target state for :func:`knn_dual_run`."""
     dtype = jnp.float32
     Me, Mp = t_edge.shape[0], t_plane.shape[0]
+    tt = tt or int(_TT or _auto_tiles(Me + Mp)[1])
     mepad = max(-(-Me // tt) * tt, tt)
     mppad = max(-(-Mp // tt) * tt, tt)
     mpad = mepad + mppad
@@ -362,7 +383,7 @@ def knn_dual_run(
     k_plane: int,
     max_dist_edge: float,
     max_dist_plane: float,
-    tq: int = _TQ,
+    tq: int = None,
 ):
     """Query-side half of :func:`knn_pallas_dual` (see its docstring)."""
     from ..neighbors.bruteforce import KnnResult
@@ -371,6 +392,7 @@ def knn_dual_run(
     k = max(k_edge, k_plane)
     dtype = jnp.float32
     E, P = q_edge.shape[0], q_plane.shape[0]
+    tq = tq or int(_TQ or _auto_tiles(prep.tT.shape[1])[0])
     epad = -(-E // tq) * tq
     ppad = -(-P // tq) * tq
     qpad = epad + ppad
