@@ -147,52 +147,76 @@ def _knn_kernel(
     d2_ref[...] = best_v
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_dist", "tq", "tt"))
-def knn_pallas(
-    queries: jax.Array,
-    targets: jax.Array,
-    target_mask: jax.Array,
-    k: int,
-    max_dist: float = 0.0,
-    tq: int = None,
-    tt: int = None,
-):
-    """Drop-in equivalent of ``bruteforce.knn`` on TPU (f32).
+class TargetPrep(NamedTuple):
+    """Loop-invariant target-side state of :func:`knn_run`.
 
-    Returns a ``KnnResult``-compatible (indices, distances, mask) tuple (the
-    caller wraps it; import cycle keeps the type in ``bruteforce``).
-    ``tq``/``tt`` default to the measured per-scale optimum (``_auto_tiles``;
-    ``LOAM_KNN_TQ``/``LOAM_KNN_TT`` override).
+    The ICF loop searches FIXED targets with moving queries (the reference
+    builds its KD-trees once, ``registration-inl.h:20-23``); building this
+    once above the loop keeps the target pad/transpose/bounding-box work —
+    a measurable slice of per-call time at feature scale — out of every
+    iteration. Int fields are static shape metadata: keep the tuple inside
+    one trace (do not pass across a jit boundary).
     """
-    from ..neighbors.bruteforce import KnnResult
 
-    Q = queries.shape[0]
-    M = targets.shape[0]
-    atq, att = _auto_tiles(M)
-    tq = tq or int(_TQ or atq)
-    tt = tt or int(_TT or att)
+    tT: jax.Array  # (3, mpad) padded transposed targets
+    tinv: jax.Array  # (1, mpad) additive +inf invalidation
+    blo: jax.Array  # (3, n_chunks) per-chunk bbox lows
+    bhi: jax.Array  # (3, n_chunks)
+    m: int  # true target count
+    tt: int  # chunk length
+
+
+def knn_prep(
+    targets: jax.Array, target_mask: jax.Array, tt: int = None
+) -> TargetPrep:
+    """Build the target-side state for :func:`knn_run` (pad + transpose +
+    per-chunk bounding boxes; static-shape pads, no update-slices)."""
     dtype = jnp.float32
-    qpad = -(-Q // tq) * tq
+    M = targets.shape[0]
+    tt = tt or int(_TT or _auto_tiles(M)[1])
     mpad = max(-(-M // tt) * tt, tt)
-
-    qT = jnp.zeros((3, qpad), dtype).at[:, :Q].set(queries.astype(dtype).T)
-    tT = jnp.zeros((3, mpad), dtype).at[:, :M].set(targets.astype(dtype).T)
-    # additive invalidation mask: +inf for padded / masked-out target slots
-    tinv = jnp.full((1, mpad), jnp.inf, dtype)
-    tinv = tinv.at[0, :M].set(jnp.where(target_mask, 0.0, jnp.inf))
-
-    # per-chunk target bounding boxes + per-tile query bounding boxes for
-    # exact radius culling
+    tT = jnp.pad(targets.astype(dtype).T, ((0, 0), (0, mpad - M)))
+    inf = jnp.asarray(jnp.inf, dtype)
+    tinv = jnp.pad(
+        jnp.where(target_mask, 0.0, inf)[None],
+        ((0, 0), (0, mpad - M)),
+        constant_values=jnp.inf,
+    )
     n_chunks = mpad // tt
-    n_tiles = qpad // tq
     big = jnp.asarray(3e37, dtype)
-    tvalid = jnp.zeros((mpad,), bool).at[:M].set(target_mask)
+    tvalid = jnp.isfinite(tinv[0])
     tch = tT.reshape(3, n_chunks, tt)
     vch = tvalid.reshape(n_chunks, tt)[None]
     blo = jnp.min(jnp.where(vch, tch, big), axis=2)  # (3, n_chunks)
     bhi = jnp.max(jnp.where(vch, tch, -big), axis=2)
+    return TargetPrep(tT, tinv, blo, bhi, M, tt)
+
+
+def knn_run(
+    prep: TargetPrep,
+    queries: jax.Array,
+    k: int,
+    max_dist: float = 0.0,
+    tq: int = None,
+):
+    """Query-side half of :func:`knn_pallas` against prebuilt targets."""
+    from ..neighbors.bruteforce import KnnResult
+
+    Q = queries.shape[0]
+    tt = prep.tt
+    mpad = prep.tT.shape[1]
+    tq = tq or int(_TQ or _auto_tiles(mpad)[0])
+    dtype = jnp.float32
+    qpad = -(-Q // tq) * tq
+    qT = jnp.pad(queries.astype(dtype).T, ((0, 0), (0, qpad - Q)))
+
+    n_chunks = mpad // tt
+    n_tiles = qpad // tq
+    big = jnp.asarray(3e37, dtype)
     qch = qT.reshape(3, n_tiles, tq)
-    qvalid = jnp.zeros((qpad,), bool).at[:Q].set(True).reshape(1, n_tiles, tq)
+    qvalid = (
+        jnp.arange(qpad) < Q
+    ).reshape(1, n_tiles, tq)
     qlo = jnp.min(jnp.where(qvalid, qch, big), axis=2)  # (3, n_tiles)
     qhi = jnp.max(jnp.where(qvalid, qch, -big), axis=2)
 
@@ -205,8 +229,8 @@ def knn_pallas(
     if r2 > 0:
         gap = jnp.maximum(
             jnp.maximum(
-                qlo.T[:, None, :] - bhi.T[None, :, :],
-                blo.T[None, :, :] - qhi.T[:, None, :],
+                qlo.T[:, None, :] - prep.bhi.T[None, :, :],
+                prep.blo.T[None, :, :] - qhi.T[:, None, :],
             ),
             0.0,
         )  # (n_tiles, n_chunks, 3)
@@ -242,7 +266,7 @@ def knn_pallas(
             jax.ShapeDtypeStruct((k, qpad), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(qT, tT, tinv, cnt, lst)
+    )(qT, prep.tT, prep.tinv, cnt, lst)
 
     idx = idx[:, :Q].T
     d2 = d2[:, :Q].T
@@ -251,6 +275,27 @@ def knn_pallas(
     if max_dist > 0:
         valid = valid & (dist < max_dist)
     return KnnResult(idx, jnp.where(valid, dist, jnp.inf), valid)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_dist", "tq", "tt"))
+def knn_pallas(
+    queries: jax.Array,
+    targets: jax.Array,
+    target_mask: jax.Array,
+    k: int,
+    max_dist: float = 0.0,
+    tq: int = None,
+    tt: int = None,
+):
+    """Drop-in equivalent of ``bruteforce.knn`` on TPU (f32).
+
+    Returns a ``KnnResult``-compatible (indices, distances, mask) tuple (the
+    caller wraps it; import cycle keeps the type in ``bruteforce``).
+    ``tq``/``tt`` default to the measured per-scale optimum (``_auto_tiles``;
+    ``LOAM_KNN_TQ``/``LOAM_KNN_TT`` override). Loop callers with fixed
+    targets should split :func:`knn_prep` / :func:`knn_run` instead.
+    """
+    return knn_run(knn_prep(targets, target_mask, tt), queries, k, max_dist, tq)
 
 
 @functools.partial(

@@ -95,6 +95,23 @@ def spatial_sort_features(fs: FeatureSet, cell_size: float = 1.0) -> FeatureSet:
     )
 
 
+def _hoist_knn_prep(target: FeatureSet) -> bool:
+    """Whether to build kNN target prep explicitly above the ICF loop.
+
+    Measured on v5e (scripts/hoist_ab.py, one process): explicit hoisting is
+    ~5% faster end-to-end at scan scale (both targets ~24k slots) but ~4%
+    SLOWER at map scale (164k slots) — there XLA's own loop-invariant code
+    motion plus operand fusion of the in-body prep beats the explicitly
+    materialized buffers. Threshold matches the tq auto-tile crossover.
+    ``LOAM_ICF_HOIST_KNN`` (0/1) overrides for hardware sweeps.
+    """
+    env = os.environ.get("LOAM_ICF_HOIST_KNN")
+    if env is not None:
+        return env == "1"
+    total = target.edge_points.shape[0] + target.planar_points.shape[0]
+    return total <= 65536
+
+
 def _azimuth_perm(points: jax.Array, mask: jax.Array) -> jax.Array:
     """Permutation sorting valid slots by azimuth (invalid slots last).
 
@@ -259,6 +276,27 @@ def _register_impl(
                 params.grid_max_per_cell,
             )[0]
             return res, None
+
+    elif pallas_active and _hoist_knn_prep(target):
+        # Target-side kernel prep (pad/transpose/chunk bboxes) hoisted above
+        # the while_loop — the targets are fixed across outer iterations
+        # (the reference builds its KD-trees once, ``registration-inl.h:20-23``).
+        from ..ops.knn_pallas import knn_prep, knn_run
+
+        e_prep = knn_prep(target.edge_points, target.edge_mask)
+        p_prep = knn_prep(target.planar_points, target.planar_mask)
+
+        def edge_knn(q):
+            return knn_run(
+                e_prep, q, params.num_edge_neighbors,
+                params.max_edge_neighbor_dist,
+            ), None
+
+        def plane_knn(q):
+            return knn_run(
+                p_prep, q, params.num_plane_neighbors,
+                params.max_plane_neighbor_dist,
+            ), None
 
     else:
         edge_knn = plane_knn = None
