@@ -67,6 +67,30 @@ def pallas_supported() -> bool:
         return False
 
 
+def _pack_active_lists(active: jax.Array):
+    """Left-pack active chunk indices: (T, C) bool -> ((T, C) int32 lists,
+    (T, 1) counts), ascending chunk order.
+
+    A stable argsort of the inactive flags gives the same result, but
+    ``lax.sort`` is a fixed-cost unfused op on TPU (~1 ms standalone); the
+    cumsum + one-hot reduce here is pure elementwise+reduction work that XLA
+    fuses. ``dest[t, j]`` = output slot of chunk j (cumsum is monotone, so
+    lists stay ascending — preserving global first-index tie-breaking);
+    inverting via ``lst[t, i] = sum_j [dest[t, j] == i] * j`` never
+    materializes the (T, C, C) one-hot.
+    """
+    n_chunks = active.shape[1]
+    dest = jnp.cumsum(active, axis=1, dtype=jnp.int32) - 1
+    dest = jnp.where(active, dest, -1)  # (T, C)
+    jj = jnp.arange(n_chunks, dtype=jnp.int32)
+    eq = dest[:, None, :] == jj[None, :, None]  # (T, C_out, C_j)
+    lst = jnp.sum(
+        jnp.where(eq, jj[None, None, :], 0), axis=2, dtype=jnp.int32
+    )
+    cnt = jnp.sum(active, axis=1, dtype=jnp.int32)[:, None]
+    return lst, cnt
+
+
 def _extract_k_rows(d2, row, k):
     """k smallest of d2 (W, TQ) along axis 0 -> ((k, TQ) values, (k, TQ)
     rows), ascending, first-index ties. Unrolled min/argmin sublane passes."""
@@ -236,8 +260,7 @@ def knn_run(
         )  # (n_tiles, n_chunks, 3)
         sep2 = jnp.sum(gap * gap, axis=-1)
         active = sep2 < jnp.asarray(r2, dtype)  # (n_tiles, n_chunks)
-        lst = jnp.argsort(~active, axis=1, stable=True).astype(jnp.int32)
-        cnt = jnp.sum(active, axis=1, dtype=jnp.int32)[:, None]
+        lst, cnt = _pack_active_lists(active)
     else:
         lst = jnp.zeros((n_tiles, n_chunks), jnp.int32)
         cnt = jnp.zeros((n_tiles, 1), jnp.int32)
@@ -481,8 +504,7 @@ def knn_dual_run(
     active = (sep2 < r2_tile[:, None]) & (
         tile_is_edge[:, None] == chunk_is_edge[None, :]
     )
-    lst = jnp.argsort(~active, axis=1, stable=True).astype(jnp.int32)
-    cnt = jnp.sum(active, axis=1, dtype=jnp.int32)[:, None]
+    lst, cnt = _pack_active_lists(active)
 
     idx, d2 = pl.pallas_call(
         functools.partial(_knn_kernel, k=k, tt=tt, use_list=True),
