@@ -12,19 +12,20 @@ independent (suppression can never cross a line: accepted features always sit
 
 TPU mapping:
   * lines  -> ``vmap`` lanes (fully parallel),
-  * sectors -> ``lax.scan`` carrying the per-line validity mask,
-  * the greedy pick -> a short ``lax.fori_loop`` over candidates.
+  * sectors -> python-unrolled loop carrying the per-line validity mask
+    (static per-sector mask windows),
+  * the greedy pick -> an unrolled ``lax.scan`` over the sorted sector slots.
 
-Exactness + a provable truncation: only *accepted* candidates mutate state,
-and a candidate can be accepted only if it passes the threshold and was valid
-in the mask at the start of its pass (the mask is monotone decreasing). Every
-prefiltered candidate processed before the cap-break is either accepted or
-suppressed by an earlier accept whose window covers <= 2*neighbor_points - 1
-candidates. Hence at most ``(cap+1) * (2*neighbor_points - 1)`` prefiltered
-candidates are ever visited, so iterating over the top-K prefiltered
-candidates (K = that bound) in sorted order is exactly equivalent to the
-reference's full sweep. For default params this cuts the edge pass from ~170
-to 55 serial steps per sector.
+Exactness: candidates are prefiltered by threshold only; a candidate that
+is masked when visited is a no-op that does not count toward the cap —
+exactly the reference's live ``valid_mask[idx]`` check inside its greedy
+loop (``features-inl.h:144``). The serial pass therefore walks every sorted
+sector slot, but each step touches only a ~(P/S + 2(neighbor_points-1))-wide
+STATIC window of the line mask (the sector plus the cross-sector
+suppression reach) — the sector loop is python-unrolled so the window
+bounds are static. Device profiling showed the greedy steps are
+memory-bound on the mask they stream; the windowing cuts that traffic
+~number_sectors-fold and removes all per-sector gathers/compactions.
 
 Tie-breaking: the reference uses unstable ``std::sort`` so curvature ties have
 implementation-defined order. We pin the canonical order = stable ascending by
@@ -72,6 +73,7 @@ def _greedy_pass(
     candidates: jax.Array,
     max_feats: int,
     nms_halfwidth: int,
+    offset: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Serial greedy pick over ordered candidates.
 
@@ -82,17 +84,22 @@ def _greedy_pass(
     control overhead.
 
     Args:
-      mask: (P,) current validity mask (bool).
+      mask: (W,) current validity mask (bool) — a width-W window of the line
+        starting at point index ``offset`` (the full line when offset=0).
       candidates: (K,) within-line point indices in processing order, -1 pad.
+        Every non-negative candidate must lie inside the window.
       max_feats: reference cap; up to ``max_feats + 1`` accepted (§2.3(3)).
-      nms_halfwidth: neighbor_points; accept clears idx-(n-1) .. idx+(n-1).
+      nms_halfwidth: neighbor_points; accept clears idx-(n-1) .. idx+(n-1)
+        (clipped to the window — callers size windows to cover the reach).
+      offset: window start (static), subtracted from candidate indices for
+        mask addressing; picks keep the within-line index.
 
     Returns: (new_mask, picks (max_feats+1,) int32 with -1 padding).
     """
     cap = max_feats + 1
-    P = mask.shape[0]
+    W = mask.shape[0]
     picks0 = jnp.full((cap,), -1, dtype=jnp.int32)
-    iot = jnp.arange(P, dtype=jnp.int32)
+    iot = jnp.arange(W, dtype=jnp.int32) + jnp.int32(offset)
     cap_iot = jnp.arange(cap, dtype=jnp.int32)
 
     def body(state, idx):
@@ -110,18 +117,6 @@ def _greedy_pass(
         body, (mask, jnp.int32(0), picks0), candidates, unroll=8
     )
     return mask, picks
-
-
-def _compact_ordered(flags: jax.Array, values: jax.Array, k: int) -> jax.Array:
-    """Stable-compact ``values[flags]`` (order preserved) into a (k,) array,
-    -1 padded, dropping entries beyond k. Scatter-free: a one-hot
-    (K, k) selection matrix contracted on the MXU (indices stay exact in
-    f32: scan indices < 2^24)."""
-    dest = jnp.where(flags, jnp.cumsum(flags.astype(jnp.int32)) - 1, -1)
-    onehot = dest[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :]  # (K, k)
-    # values+1 so that empty output slots (column sums of 0) decode to -1
-    out = jnp.sum(jnp.where(onehot, values[:, None] + 1, 0), axis=0)
-    return out.astype(jnp.int32) - 1
 
 
 @functools.partial(jax.jit, static_argnames=("lidar", "params"))
@@ -191,9 +186,6 @@ def _extract_core(
     valid = valid.reshape(L, P)
 
     pos_all, slotv_all, s_max = _sector_layout(lidar, params)
-    # exact visit bounds (see module docstring)
-    ek = min(s_max, (max_e + 1) * (2 * N - 1))
-    pk = min(s_max, (max_p + 1) * (2 * N - 1))
 
     inf = jnp.asarray(jnp.inf, curv.dtype)
 
@@ -242,26 +234,43 @@ def _extract_core(
         def below_planar(hi, lo):
             return hi < planar_thresh
 
+    # Sector loop is PYTHON-unrolled (S is static): every sector's greedy
+    # passes then operate on a STATIC slice of the line mask — the sector's
+    # span plus an (N-1)-point margin each side (the reach of cross-sector
+    # suppression, §2.3(4)) — instead of the full line. Device profiling
+    # showed the serial greedy steps are memory-bound on the mask they
+    # stream each step; a ~(P/S)-wide slice cuts that traffic ~S-fold.
+    # Candidates are threshold-prefiltered only (no mask gather, no
+    # compaction): a candidate that is masked (or suppressed later) is
+    # visited as a no-op that does not count toward the cap — exactly the
+    # reference's live ``valid_mask[idx]`` check (``features-inl.h:144``).
+    pps = P // S
+
     def line_fn(valid_l, spos_l, sc_l, scl_l, ssv_l):
-        def sector_body(mask, sector_inputs):
-            spos, sc, scl, ssv = sector_inputs  # (S_max,) sorted slices
+        mask = valid_l
+        e_picks, p_picks = [], []
+        for s in range(S):
+            size = s_max if s == S - 1 else pps
+            lo = max(s * pps - (N - 1), 0)
+            hi = min(s * pps + size + (N - 1), P)
+            msl = lax.slice_in_dim(mask, lo, hi, axis=0)
 
-            # --- edge pass: descending curvature ------------------------------
-            pre_e = ssv & above_edge(sc, scl) & mask[spos]
-            cand_e = _compact_ordered(pre_e[::-1], spos[::-1], ek)
-            mask, edge_picks = _greedy_pass(mask, cand_e, max_e, N)
+            # edge pass: descending curvature = reversed stable-sorted order
+            cand_e = jnp.where(
+                ssv_l[s] & above_edge(sc_l[s], scl_l[s]), spos_l[s], -1
+            )[::-1]
+            msl, pe = _greedy_pass(msl, cand_e, max_e, N, offset=lo)
 
-            # --- planar pass: ascending curvature -----------------------------
-            pre_p = ssv & below_planar(sc, scl) & mask[spos]
-            cand_p = _compact_ordered(pre_p, spos, pk)
-            mask, planar_picks = _greedy_pass(mask, cand_p, max_p, N)
+            # planar pass: ascending curvature
+            cand_p = jnp.where(
+                ssv_l[s] & below_planar(sc_l[s], scl_l[s]), spos_l[s], -1
+            )
+            msl, pp_ = _greedy_pass(msl, cand_p, max_p, N, offset=lo)
 
-            return mask, (edge_picks, planar_picks)
-
-        _, (edge_picks, planar_picks) = lax.scan(
-            sector_body, valid_l, (spos_l, sc_l, scl_l, ssv_l)
-        )
-        return edge_picks, planar_picks  # (S, max_e+1), (S, max_p+1)
+            mask = lax.dynamic_update_slice_in_dim(mask, msl, lo, axis=0)
+            e_picks.append(pe)
+            p_picks.append(pp_)
+        return jnp.stack(e_picks), jnp.stack(p_picks)
 
     edge_picks, planar_picks = jax.vmap(line_fn)(
         valid, spos_all, sc_all, sc_lo_all, ssv_all
