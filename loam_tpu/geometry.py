@@ -349,6 +349,122 @@ def fit_plane(points: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax.Array,
     return normal, d, avg_dist
 
 
+def _sym3x3_eigvalsh_c(xx, xy, xz, yy, yz, zz):
+    """Component form of :func:`sym3x3_eigvalsh`: six covariance components
+    (each (...,)) -> (e0, e1, e2) ascending. Same closed-form cubic; keeping
+    everything as component arrays avoids ever materializing (..., 3, 3)
+    matrices (and the TPU relayouts they drag in)."""
+    q = (xx + yy + zz) / 3.0
+    bxx, byy, bzz = xx - q, yy - q, zz - q
+    p2 = (bxx * bxx + byy * byy + bzz * bzz + 2.0 * (xy * xy + xz * xz + yz * yz)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 0.0))
+    safe_p = jnp.where(p > 0, p, 1.0)
+    detB = (
+        bxx * (byy * bzz - yz * yz)
+        - xy * (xy * bzz - yz * xz)
+        + xz * (xy * yz - byy * xz)
+    )
+    r = jnp.clip(detB / (2.0 * safe_p**3), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    two_pi_3 = 2.0 * jnp.pi / 3.0
+    e2 = q + 2.0 * p * jnp.cos(phi)
+    e0 = q + 2.0 * p * jnp.cos(phi + two_pi_3)
+    e1 = 3.0 * q - e0 - e2
+    zero = p == 0
+    return (
+        jnp.where(zero, q, e0),
+        jnp.where(zero, q, e1),
+        jnp.where(zero, q, e2),
+    )
+
+
+def _sym3x3_eigvec_c(xx, xy, xz, yy, yz, zz, e):
+    """Component form of :func:`sym3x3_principal_eigvec`: unit eigenvector
+    (vx, vy, vz) for eigenvalue ``e`` via the adjugate of A - eI."""
+    m00, m11, m22 = xx - e, yy - e, zz - e
+    # rows of M: r0 = (m00, xy, xz), r1 = (xy, m11, yz), r2 = (xz, yz, m22)
+    c0x = m11 * m22 - yz * yz
+    c0y = yz * xz - xy * m22
+    c0z = xy * yz - m11 * xz
+    c1x = yz * xz - m22 * xy
+    c1y = m22 * m00 - xz * xz
+    c1z = xz * xy - yz * m00
+    c2x = xy * yz - xz * m11
+    c2y = xz * xy - m00 * yz
+    c2z = m00 * m11 - xy * xy
+    n0 = c0x * c0x + c0y * c0y + c0z * c0z
+    n1 = c1x * c1x + c1y * c1y + c1z * c1z
+    n2 = c2x * c2x + c2y * c2y + c2z * c2z
+    use1 = n1 > n0
+    bx = jnp.where(use1, c1x, c0x)
+    by = jnp.where(use1, c1y, c0y)
+    bz = jnp.where(use1, c1z, c0z)
+    nb = jnp.maximum(n0, n1)
+    use2 = n2 > nb
+    vx = jnp.where(use2, c2x, bx)
+    vy = jnp.where(use2, c2y, by)
+    vz = jnp.where(use2, c2z, bz)
+    nv = jnp.sqrt(jnp.maximum(jnp.maximum(nb, n2), 1e-30))
+    return vx / nv, vy / nv, vz / nv
+
+
+def _packed_moments(xs, ys, zs, mask):
+    """Masked mean + centered covariance components of (K, N) neighbors."""
+    dtype = xs.dtype
+    m = mask.astype(dtype)
+    n = jnp.maximum(jnp.sum(m, axis=0), 1.0)
+    mx = jnp.sum(xs * m, axis=0) / n
+    my = jnp.sum(ys * m, axis=0) / n
+    mz = jnp.sum(zs * m, axis=0) / n
+    cx = (xs - mx[None]) * m
+    cy = (ys - my[None]) * m
+    cz = (zs - mz[None]) * m
+    xx = jnp.sum(cx * cx, axis=0)
+    xy = jnp.sum(cx * cy, axis=0)
+    xz = jnp.sum(cx * cz, axis=0)
+    yy = jnp.sum(cy * cy, axis=0)
+    yz = jnp.sum(cy * cz, axis=0)
+    zz = jnp.sum(cz * cz, axis=0)
+    return (mx, my, mz), (xx, xy, xz, yy, yz, zz)
+
+
+def fit_line_packed(xs, ys, zs, mask):
+    """:func:`fit_line` from component-packed neighbors.
+
+    Args:
+      xs / ys / zs: (K, N) neighbor coordinates — the Pallas kNN kernel's
+        coordinate outputs verbatim, so association needs no (N, K, 3)
+        neighbor gather or relayout (measured as the largest per-iteration
+        cost of the ICF loop on v5e).
+      mask: (K, N) validity.
+    Returns: ((N, 3) a, (N, 3) b, (N,) condition number) as in fit_line.
+    """
+    (mx, my, mz), cov = _packed_moments(xs, ys, zs, mask)
+    e0, _, e2 = _sym3x3_eigvalsh_c(*cov)
+    vx, vy, vz = _sym3x3_eigvec_c(*cov, e2)
+    a = jnp.stack([mx + 0.1 * vx, my + 0.1 * vy, mz + 0.1 * vz], axis=-1)
+    b = jnp.stack([mx - 0.1 * vx, my - 0.1 * vy, mz - 0.1 * vz], axis=-1)
+    dtype = xs.dtype
+    cond = e2 / jnp.where(jnp.abs(e0) < 1e-12, jnp.asarray(1e-12, dtype), e0)
+    return a, b, cond
+
+
+def fit_plane_packed(xs, ys, zs, mask):
+    """:func:`fit_plane` from component-packed (K, N) neighbors.
+
+    Returns: ((N, 3) normal, (N,) d, (N,) avg_dist) with the same PCA fit,
+    d >= 0 orientation, and identically-zero signed mean residual.
+    """
+    (mx, my, mz), cov = _packed_moments(xs, ys, zs, mask)
+    e0, _, _ = _sym3x3_eigvalsh_c(*cov)
+    vx, vy, vz = _sym3x3_eigvec_c(*cov, e0)
+    d = vx * mx + vy * my + vz * mz
+    flip = jnp.where(d < 0, -1.0, 1.0)
+    normal = jnp.stack([vx * flip, vy * flip, vz * flip], axis=-1)
+    d = d * flip
+    return normal, d, jnp.zeros_like(d)
+
+
 def point_to_line_distance(point: jax.Array, line_a: jax.Array, line_b: jax.Array) -> jax.Array:
     """‖(p−a)×(p−b)‖ / ‖a−b‖ (reference ``geometry-inl.h:21-27``)."""
     num = jnp.linalg.norm(jnp.cross(point - line_a, point - line_b), axis=-1)

@@ -105,8 +105,8 @@ def _extract_k_rows(d2, row, k):
 
 
 def _knn_kernel(
-    q_ref, t_ref, tinv_ref, cnt_ref, lst_ref, idx_ref, d2_ref, *,
-    k: int, tt: int, use_list: bool,
+    q_ref, t_ref, tinv_ref, cnt_ref, lst_ref, idx_ref, d2_ref, *coord_refs,
+    k: int, tt: int, use_list: bool, with_coords: bool = False,
 ):
     q = q_ref[...]  # (3, TQ)
     tq = q.shape[1]
@@ -121,7 +121,11 @@ def _knn_kernel(
     qz = q[2][None, :]
 
     def chunk_work(c, state):
-        best_v, best_i = state
+        if with_coords:
+            best_v, best_i, best_c = state
+        else:
+            best_v, best_i = state
+            best_c = None
         off = c * tt
         t = t_ref[:, pl.ds(off, tt)]  # (3, TT)
         tinv = tinv_ref[0, pl.ds(off, tt)]  # (TT,) +inf at invalid slots
@@ -129,25 +133,61 @@ def _knn_kernel(
         dy = t[1][:, None] - qy
         dz = t[2][:, None] - qz
         d2 = dx * dx + dy * dy + dz * dz + tinv[:, None]  # (TT, TQ)
-        cv, cr = _extract_k_rows(d2, row, k)
+        # k extraction passes; with_coords also one-hot-reduces the selected
+        # rows' coordinates (exact copies of t — no arithmetic), so callers
+        # skip the XLA neighbor gather entirely (the largest per-iteration
+        # cost of the ICF loop when measured on v5e).
+        cvs, crs, ccs = [], [], ([], [], [])
+        dd = d2
+        for _ in range(k):
+            m = jnp.min(dd, axis=0)
+            am = jnp.argmin(dd, axis=0).astype(jnp.int32)
+            sel = row == am[None, :]
+            cvs.append(m)
+            crs.append(am)
+            if with_coords:
+                for a in range(3):
+                    ccs[a].append(
+                        jnp.sum(jnp.where(sel, t[a][:, None], 0.0), axis=0)
+                    )
+            dd = jnp.where(sel, jnp.inf, dd)
+        cv = jnp.stack(cvs, axis=0)
         # pin int32: under x64 interpret mode the loop index / sum promote
-        ci = (cr + off).astype(jnp.int32)
+        ci = (jnp.stack(crs, axis=0) + off).astype(jnp.int32)
         # merge running + chunk candidates (running first: lower indices win
         # distance ties, preserving global first-index tie-breaking)
         mv = jnp.concatenate([best_v, cv], axis=0)  # (2k, TQ)
         mi = jnp.concatenate([best_i, ci], axis=0)
+        if with_coords:
+            mc = [
+                jnp.concatenate([best_c[a], jnp.stack(ccs[a], axis=0)], axis=0)
+                for a in range(3)
+            ]
         nv, ni = [], []
+        nc = ([], [], [])
         for _ in range(k):
             m = jnp.min(mv, axis=0)
             am = jnp.argmin(mv, axis=0).astype(jnp.int32)
             sel = row2k == am[None, :]
             nv.append(m)
             ni.append(jnp.sum(jnp.where(sel, mi, 0), axis=0, dtype=jnp.int32))
+            if with_coords:
+                for a in range(3):
+                    nc[a].append(jnp.sum(jnp.where(sel, mc[a], 0.0), axis=0))
             mv = jnp.where(sel, jnp.inf, mv)
-        return jnp.stack(nv, axis=0), jnp.stack(ni, axis=0)
+        nv = jnp.stack(nv, axis=0)
+        ni = jnp.stack(ni, axis=0)
+        if with_coords:
+            return nv, ni, tuple(jnp.stack(nc[a], axis=0) for a in range(3))
+        return nv, ni
 
     best_v = jnp.full((k, tq), jnp.inf, jnp.float32)
     best_i = jnp.zeros((k, tq), jnp.int32)
+    state0 = (best_v, best_i)
+    if with_coords:
+        state0 = state0 + (
+            tuple(jnp.zeros((k, tq), jnp.float32) for _ in range(3)),
+        )
     if use_list:
         # Iterate EXACTLY this tile's active chunks, from the per-tile list
         # precomputed at the jit level (chunks whose bounding box lies
@@ -160,15 +200,14 @@ def _knn_kernel(
         def chunk(j, state):
             return chunk_work(lst_ref[tile, j], state)
 
-        best_v, best_i = lax.fori_loop(
-            0, cnt_ref[tile, 0], chunk, (best_v, best_i)
-        )
+        out = lax.fori_loop(0, cnt_ref[tile, 0], chunk, state0)
     else:
-        best_v, best_i = lax.fori_loop(
-            0, m_total // tt, chunk_work, (best_v, best_i)
-        )
-    idx_ref[...] = best_i
-    d2_ref[...] = best_v
+        out = lax.fori_loop(0, m_total // tt, chunk_work, state0)
+    idx_ref[...] = out[1]
+    d2_ref[...] = out[0]
+    if with_coords:
+        for a in range(3):
+            coord_refs[a][...] = out[2][a]
 
 
 class TargetPrep(NamedTuple):
@@ -216,14 +255,35 @@ def knn_prep(
     return TargetPrep(tT, tinv, blo, bhi, M, tt)
 
 
+class PackedKnn(NamedTuple):
+    """kNN result in kernel-native packed layout.
+
+    Skips every (Q, k) transpose AND the neighbor-coordinate gather: the
+    kernel one-hot-reduces the selected rows' coordinates in VMEM (exact
+    copies), so association can fit lines/planes straight from these arrays
+    (``geometry.fit_line_packed`` / ``fit_plane_packed``).
+    """
+
+    first_idx: jax.Array  # (Q,) nearest target index (garbage if no match)
+    mask: jax.Array  # (k, Q) slot validity (finite + radius)
+    xs: jax.Array  # (k, Q) neighbor coordinates (garbage where ~mask)
+    ys: jax.Array
+    zs: jax.Array
+
+
 def knn_run(
     prep: TargetPrep,
     queries: jax.Array,
     k: int,
     max_dist: float = 0.0,
     tq: int = None,
+    with_coords: bool = False,
 ):
-    """Query-side half of :func:`knn_pallas` against prebuilt targets."""
+    """Query-side half of :func:`knn_pallas` against prebuilt targets.
+
+    ``with_coords=True`` returns a :class:`PackedKnn` (kernel-layout result
+    with neighbor coordinates) instead of a ``KnnResult``.
+    """
     from ..neighbors.bruteforce import KnnResult
 
     Q = queries.shape[0]
@@ -266,8 +326,12 @@ def knn_run(
         cnt = jnp.zeros((n_tiles, 1), jnp.int32)
 
     grid = (n_tiles,)
-    idx, d2 = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, tt=tt, use_list=r2 > 0),
+    n_out = 5 if with_coords else 2
+    out_dtypes = [jnp.int32, jnp.float32] + [jnp.float32] * (n_out - 2)
+    outs = pl.pallas_call(
+        functools.partial(
+            _knn_kernel, k=k, tt=tt, use_list=r2 > 0, with_coords=with_coords
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -281,16 +345,28 @@ def knn_run(
             ),
         ],
         out_specs=[
-            pl.BlockSpec((k, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tq), lambda i: (0, i), memory_space=pltpu.VMEM)
+            for _ in range(n_out)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((k, qpad), jnp.int32),
-            jax.ShapeDtypeStruct((k, qpad), jnp.float32),
+            jax.ShapeDtypeStruct((k, qpad), dt) for dt in out_dtypes
         ],
         interpret=_INTERPRET,
     )(qT, prep.tT, prep.tinv, cnt, lst)
 
+    if with_coords:
+        idx, d2, cx, cy, cz = outs
+        d2q = d2[:, :Q]
+        valid = jnp.isfinite(d2q)
+        if max_dist > 0:
+            # same rounding as the reference/XLA path: sqrt then strict <
+            # (``kdtree.cpp:24-26``) — a squared compare can differ at ulps
+            valid = valid & (jnp.sqrt(jnp.maximum(d2q, 0.0)) < max_dist)
+        return PackedKnn(
+            idx[0, :Q], valid, cx[:, :Q], cy[:, :Q], cz[:, :Q]
+        )
+
+    idx, d2 = outs
     idx = idx[:, :Q].T
     d2 = d2[:, :Q].T
     dist = jnp.sqrt(jnp.maximum(d2, 0.0))

@@ -18,7 +18,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..geometry import fit_line, fit_plane
+from ..geometry import fit_line, fit_line_packed, fit_plane, fit_plane_packed
 from ..neighbors import knn
 from ..params import RegistrationParams
 
@@ -68,8 +68,23 @@ def associate_edges(
       neighbor_pts: optional pre-gathered (E, k, 3) neighbor coordinates —
         required when ``target_pts`` is not locally addressable (sharded
         targets: the distributed search returns coordinates directly).
+      knn_result may also be a ``PackedKnn`` (the Pallas kernel's
+        coordinate-carrying layout): the fit then runs component-packed with
+        no neighbor gather or (E, k) transposes.
     """
     res = knn_result
+    if res is not None and hasattr(res, "xs"):  # PackedKnn fast path
+        count = jnp.sum(res.mask, axis=0, dtype=jnp.int32)
+        enough = count >= params.min_line_fit_points
+        a, b, cond = fit_line_packed(res.xs, res.ys, res.zs, res.mask)
+        finite = jnp.isfinite(a).all(-1) & jnp.isfinite(b).all(-1)
+        valid = query_mask & enough & finite
+        if params.enforce_line_condition:
+            valid = valid & (cond >= params.min_line_condition_number)
+        match = jnp.where(valid, res.first_idx, -1).astype(jnp.int32)
+        a = jnp.where(valid[:, None], a, jnp.asarray([0.0, 0.0, 0.1], a.dtype))
+        b = jnp.where(valid[:, None], b, jnp.asarray([0.0, 0.0, -0.1], b.dtype))
+        return EdgeAssociations(a, b, valid, match)
     if res is None:
         res = knn(
             query_pts,
@@ -110,6 +125,25 @@ def associate_planes(
 ) -> PlaneAssociations:
     """Plane association (reference ``associatePlanes``, ``registration.cpp:65-103``)."""
     res = knn_result
+    if res is not None and hasattr(res, "xs"):  # PackedKnn fast path
+        count = jnp.sum(res.mask, axis=0, dtype=jnp.int32)
+        enough = count >= params.min_plane_fit_points
+        normal, d, avg_dist = fit_plane_packed(res.xs, res.ys, res.zs, res.mask)
+        finite = (
+            jnp.isfinite(normal).all(-1) & jnp.isfinite(d) & jnp.isfinite(avg_dist)
+        )
+        valid = (
+            query_mask
+            & enough
+            & finite
+            & ~(avg_dist > params.max_avg_point_plane_dist)
+        )
+        match = jnp.where(valid, res.first_idx, -1).astype(jnp.int32)
+        normal = jnp.where(
+            valid[:, None], normal, jnp.asarray([0.0, 0.0, 1.0], normal.dtype)
+        )
+        d = jnp.where(valid, d, 0.0)
+        return PlaneAssociations(normal, d, valid, match)
     if res is None:
         res = knn(
             query_pts,

@@ -98,18 +98,18 @@ def spatial_sort_features(fs: FeatureSet, cell_size: float = 1.0) -> FeatureSet:
 def _hoist_knn_prep(target: FeatureSet) -> bool:
     """Whether to build kNN target prep explicitly above the ICF loop.
 
-    Measured on v5e (scripts/hoist_ab.py, one process): explicit hoisting is
-    ~5% faster end-to-end at scan scale (both targets ~24k slots) but ~4%
-    SLOWER at map scale (164k slots) — there XLA's own loop-invariant code
-    motion plus operand fusion of the in-body prep beats the explicitly
-    materialized buffers. Threshold matches the tq auto-tile crossover.
-    ``LOAM_ICF_HOIST_KNN`` (0/1) overrides for hardware sweeps.
+    The hoisted path also enables the kernel's packed neighbor-coordinate
+    outputs (no per-iteration gather). Measured on v5e (scripts/hoist_ab.py,
+    one process): +5% at scan scale before coords, +42% with coords; at map
+    scale (164k target slots) plain hoisting was ~4% slower than XLA's own
+    in-body code motion, but with coords it is neutral today and avoids a
+    gather that scales with map density — so the default is always-on.
+    ``LOAM_ICF_HOIST_KNN=0`` forces the in-body XLA path for sweeps.
     """
     env = os.environ.get("LOAM_ICF_HOIST_KNN")
     if env is not None:
         return env == "1"
-    total = target.edge_points.shape[0] + target.planar_points.shape[0]
-    return total <= 65536
+    return True
 
 
 def _azimuth_perm(points: jax.Array, mask: jax.Array) -> jax.Array:
@@ -287,15 +287,18 @@ def _register_impl(
         p_prep = knn_prep(target.planar_points, target.planar_mask)
 
         def edge_knn(q):
+            # with_coords: the kernel hands back neighbor coordinates in
+            # packed layout — association fits run gather- and
+            # transpose-free (associate.py PackedKnn fast path).
             return knn_run(
                 e_prep, q, params.num_edge_neighbors,
-                params.max_edge_neighbor_dist,
+                params.max_edge_neighbor_dist, with_coords=True,
             ), None
 
         def plane_knn(q):
             return knn_run(
                 p_prep, q, params.num_plane_neighbors,
-                params.max_plane_neighbor_dist,
+                params.max_plane_neighbor_dist, with_coords=True,
             ), None
 
     else:

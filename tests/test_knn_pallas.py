@@ -94,3 +94,73 @@ def test_dual_empty_class():
     )
     assert not bool(re.mask.any())
     _assert_same(rp, _knn_xla(qp, tp, mp, 5, 2.0))
+
+
+def test_run_with_coords_matches_gather():
+    """PackedKnn coordinates must be exact copies of the selected targets
+    (the kernel one-hot-reduces them in VMEM), and mask/first_idx must match
+    the transposed KnnResult of the plain path."""
+    from loam_tpu.ops.knn_pallas import knn_prep, knn_run
+
+    q, t, m = _sets(11, 900, 700)
+    k, r = 5, 2.0
+    prep = knn_prep(t, m, tt=256)
+    ref = knn_run(prep, q, k, r, tq=256)
+    packed = knn_run(prep, q, k, r, tq=256, with_coords=True)
+    np.testing.assert_array_equal(np.asarray(packed.mask), np.asarray(ref.mask).T)
+    np.testing.assert_array_equal(
+        np.asarray(packed.first_idx), np.asarray(ref.indices[:, 0])
+    )
+    tn = np.asarray(t)
+    idx = np.asarray(ref.indices)  # (Q, k)
+    msk = np.asarray(ref.mask)
+    for j in range(k):
+        sel = msk[:, j]
+        np.testing.assert_array_equal(
+            np.asarray(packed.xs)[j][sel], tn[idx[sel, j], 0]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(packed.ys)[j][sel], tn[idx[sel, j], 1]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(packed.zs)[j][sel], tn[idx[sel, j], 2]
+        )
+
+
+def test_packed_association_matches_gathered():
+    """associate_* on a PackedKnn must reproduce the gather-based path
+    (same valid mask and matches; fits equal to float tolerance — the
+    component-packed fit reassociates a few f32 additions)."""
+    from loam_tpu.ops.knn_pallas import knn_prep, knn_run
+    from loam_tpu.registration.associate import associate_edges, associate_planes
+    from loam_tpu.params import RegistrationParams
+
+    q, t, m = _sets(12, 700, 500)
+    qmask = jnp.ones(q.shape[0], bool)
+    params = RegistrationParams()
+    prep = knn_prep(t, m, tt=256)
+
+    res = knn_run(prep, q, params.num_edge_neighbors,
+                  params.max_edge_neighbor_dist, tq=256)
+    packed = knn_run(prep, q, params.num_edge_neighbors,
+                     params.max_edge_neighbor_dist, tq=256, with_coords=True)
+    ea_ref = associate_edges(q, qmask, t, m, params, knn_result=res)
+    ea = associate_edges(q, qmask, t, m, params, knn_result=packed)
+    np.testing.assert_array_equal(np.asarray(ea.valid), np.asarray(ea_ref.valid))
+    np.testing.assert_array_equal(np.asarray(ea.match), np.asarray(ea_ref.match))
+    np.testing.assert_allclose(
+        np.asarray(ea.line_a), np.asarray(ea_ref.line_a), atol=2e-4
+    )
+
+    res_p = knn_run(prep, q, params.num_plane_neighbors,
+                    params.max_plane_neighbor_dist, tq=256)
+    packed_p = knn_run(prep, q, params.num_plane_neighbors,
+                       params.max_plane_neighbor_dist, tq=256, with_coords=True)
+    pa_ref = associate_planes(q, qmask, t, m, params, knn_result=res_p)
+    pa = associate_planes(q, qmask, t, m, params, knn_result=packed_p)
+    np.testing.assert_array_equal(np.asarray(pa.valid), np.asarray(pa_ref.valid))
+    np.testing.assert_array_equal(np.asarray(pa.match), np.asarray(pa_ref.match))
+    np.testing.assert_allclose(
+        np.asarray(pa.normal), np.asarray(pa_ref.normal), atol=2e-4
+    )
+    np.testing.assert_allclose(np.asarray(pa.d), np.asarray(pa_ref.d), atol=2e-4)
