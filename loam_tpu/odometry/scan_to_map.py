@@ -231,7 +231,7 @@ def scan_to_map_offline(
     config: ScanToMapConfig = ScanToMapConfig(),
     dewarp: bool = False,
     init_state: Optional[ScanToMapState] = None,
-    hoist_extraction: bool = False,
+    hoist_extraction: bool = True,
 ) -> Tuple[ScanToMapState, Pose3, RegistrationDetail]:
     """Whole-trajectory scan-to-map odometry in ONE compiled program.
 
@@ -253,13 +253,13 @@ def scan_to_map_offline(
     state0 = scan_to_map_init(config) if init_state is None else init_state
 
     if dewarp or not hoist_extraction:
-        # Default path. Hoisting extraction out of the loop (below) reads
-        # as the obvious win, but measured ~8% SLOWER in-process on v5e
-        # (137.5 vs 126.9 scans/s, 32 frames): the batched feature pytree
-        # round-trips through HBM and each scan step re-slices it, while
-        # in-loop extraction stays fused with the consumer. Kept behind
-        # ``hoist_extraction`` for future-hardware sweeps. (Dewarping also
-        # needs per-frame motion state, so it always extracts in-loop.)
+        # In-loop extraction. Dewarping needs per-frame motion state, so it
+        # always extracts here. For the non-dewarp case the default is the
+        # hoisted path below: it measured ~8% slower early in round 2 (the
+        # batched feature pytree round-trips through HBM), but after the
+        # NMS windowing + packed-kNN optimizations the sequential loop is
+        # fast enough that batching extraction wins decisively
+        # (204.6 -> 267.9 scans/s at 32 frames on v5e).
         def step(state, scan):
             state, pose, detail = scan_to_map_step(
                 state, scan, lidar, feat_params, reg_params, config, dewarp

@@ -52,6 +52,30 @@ def _angle_from_identity(q: jax.Array) -> jax.Array:
     return 2.0 * jnp.arctan2(jnp.linalg.norm(q[..., 1:], axis=-1), jnp.abs(q[..., 0]))
 
 
+def _sort_features_multikey(fs: FeatureSet, e_key: jax.Array, p_key: jax.Array) -> FeatureSet:
+    """Reorder both feature classes by per-slot sort keys with ONE
+    multi-operand stable ``lax.sort`` per class.
+
+    Coordinates, mask, and indices ride along as sort operands — the
+    argsort + per-leaf gather form costs 4 TPU gathers per class (~7 ms/run
+    at 16-frame batch scale in device traces); carried operands cost ~one
+    sort. Stability = argsort-identical tie order (original slot order).
+    """
+
+    def s(points, mask, idxs, key):
+        _, x, y, z, m, ix = lax.sort(
+            (key, points[:, 0], points[:, 1], points[:, 2],
+             mask.astype(jnp.int32), idxs),
+            num_keys=1,
+            is_stable=True,
+        )
+        return jnp.stack([x, y, z], axis=-1), m.astype(bool), ix
+
+    ep, em, ei = s(fs.edge_points, fs.edge_mask, fs.edge_indices, e_key)
+    pp, pm, pi = s(fs.planar_points, fs.planar_mask, fs.planar_indices, p_key)
+    return FeatureSet(ep, em, ei, pp, pm, pi)
+
+
 def azimuth_sort_features(fs: FeatureSet) -> FeatureSet:
     """Return ``fs`` with edge/planar slots azimuth-sorted.
 
@@ -62,9 +86,16 @@ def azimuth_sort_features(fs: FeatureSet) -> FeatureSet:
     semantics are order-invariant; only slot numbering changes (a sorted
     set's ``*_indices`` still map slots to scan points).
     """
-    e = _azimuth_perm(fs.edge_points, fs.edge_mask)
-    p = _azimuth_perm(fs.planar_points, fs.planar_mask)
-    return _permute_features(fs, e, p)
+
+    def key(points, mask):
+        az = jnp.arctan2(points[:, 1], points[:, 0])
+        return jnp.where(mask, az, jnp.asarray(1e9, az.dtype))
+
+    return _sort_features_multikey(
+        fs,
+        key(fs.edge_points, fs.edge_mask),
+        key(fs.planar_points, fs.planar_mask),
+    )
 
 
 def spatial_sort_features(fs: FeatureSet, cell_size: float = 1.0) -> FeatureSet:
@@ -80,18 +111,17 @@ def spatial_sort_features(fs: FeatureSet, cell_size: float = 1.0) -> FeatureSet:
     """
     from ..ops.morton import morton_key
 
-    def perm(points, mask):
-        key = jnp.where(
+    def key(points, mask):
+        return jnp.where(
             mask,
             morton_key(points, cell_size),
             jnp.iinfo(jnp.int32).max,
         )
-        return jnp.argsort(key).astype(jnp.int32)
 
-    return _permute_features(
+    return _sort_features_multikey(
         fs,
-        perm(fs.edge_points, fs.edge_mask),
-        perm(fs.planar_points, fs.planar_mask),
+        key(fs.edge_points, fs.edge_mask),
+        key(fs.planar_points, fs.planar_mask),
     )
 
 
