@@ -197,20 +197,22 @@ def _extract_core(
     # stability pins the oracle's canonical (curvature, index) tie order.
     c_all = jnp.where(slotv_all[None], curv[:, pos_all], inf)  # (L, S, s_max)
     pos_b = jnp.broadcast_to(pos_all[None], c_all.shape)
-    slotv_b = jnp.broadcast_to(slotv_all[None], c_all.shape)
     if curv_lo is not None:
         cl_all = jnp.where(slotv_all[None], curv_lo.reshape(L, P)[:, pos_all], 0.0)
-        sc_all, sc_lo_all, spos_all, ssv_all = lax.sort(
-            (c_all, cl_all, pos_b, slotv_b),
+        sc_all, sc_lo_all, spos_all = lax.sort(
+            (c_all, cl_all, pos_b),
             dimension=-1,
             num_keys=2,
             is_stable=True,
         )
     else:
-        sc_all, spos_all, ssv_all = lax.sort(
-            (c_all, pos_b, slotv_b), dimension=-1, num_keys=1, is_stable=True
+        sc_all, spos_all = lax.sort(
+            (c_all, pos_b), dimension=-1, num_keys=1, is_stable=True
         )
         sc_lo_all = jnp.zeros_like(c_all)
+    # slot validity needs no sort operand: padding slots (and only they)
+    # carry the +inf key — real curvature is finite (bounded sums of squares)
+    ssv_all = sc_all < inf
 
     if curv_lo is not None:
         from ..ops import twofloat as tf

@@ -241,7 +241,14 @@ def lm_solve(
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-12), jnp.minimum(lam * 4.0, 1e8))
         return (delta, cost, H, g, lam), cost
 
+    # unroll: inner_iterations is tiny (reference-pinned 4); the while-loop
+    # bookkeeping around a rolled scan measured ~0.13 ms/outer-iteration in
+    # device traces — as much as the four steps' own math
     (delta, _, _, _, _), costs = lax.scan(
-        body, (delta0, cost0, H0, g0, lam0), None, length=params.inner_iterations
+        body,
+        (delta0, cost0, H0, g0, lam0),
+        None,
+        length=params.inner_iterations,
+        unroll=True,
     )
     return delta, costs[-1]
