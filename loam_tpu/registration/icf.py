@@ -142,8 +142,8 @@ def _hoist_knn_prep(target: FeatureSet) -> bool:
     return True
 
 
-def _azimuth_perm(points: jax.Array, mask: jax.Array) -> jax.Array:
-    """Permutation sorting valid slots by azimuth (invalid slots last).
+def _azimuth_sort_with_perms(fs: FeatureSet):
+    """Azimuth-sort ``fs`` and return the applied permutations too.
 
     Feature slots come in (line, sector, rank) order, so any contiguous tile
     of them spans the full 360 deg sweep — which defeats the Pallas kNN
@@ -152,10 +152,27 @@ def _azimuth_perm(points: jax.Array, mask: jax.Array) -> jax.Array:
     skip almost all chunks (exact: culled chunks are beyond the radius
     filter). Sets/fits are permutation-invariant; only kNN *tie* resolution
     can differ, which set-level semantics allow.
-    """
-    az = jnp.arctan2(points[:, 1], points[:, 0])
-    key = jnp.where(mask, az, jnp.asarray(1e9, az.dtype))
-    return jnp.argsort(key).astype(jnp.int32)
+
+    The ``reorder_mode="auto"`` path needs the permutations to map detail
+    match indices back to caller slot order; carrying an iota through the
+    same multi-operand stable sort yields them for free (identical order to
+    ``jnp.argsort`` of the key — same key, same stability)."""
+
+    def s(points, mask, idxs):
+        az = jnp.arctan2(points[:, 1], points[:, 0])
+        key = jnp.where(mask, az, jnp.asarray(1e9, az.dtype))
+        iota = jnp.arange(points.shape[0], dtype=jnp.int32)
+        _, x, y, z, m, ix, perm = lax.sort(
+            (key, points[:, 0], points[:, 1], points[:, 2],
+             mask.astype(jnp.int32), idxs, iota),
+            num_keys=1,
+            is_stable=True,
+        )
+        return jnp.stack([x, y, z], axis=-1), m.astype(bool), ix, perm
+
+    ep, em, ei, se = s(fs.edge_points, fs.edge_mask, fs.edge_indices)
+    pp, pm, pi, sp = s(fs.planar_points, fs.planar_mask, fs.planar_indices)
+    return FeatureSet(ep, em, ei, pp, pm, pi), se, sp
 
 
 def _permute_features(fs: FeatureSet, e_perm: jax.Array, p_perm: jax.Array) -> FeatureSet:
@@ -238,17 +255,15 @@ def _register_impl(
     if reorder_src:
         if reorder_mode == "given":
             se, sp = source_perms
+            source = _permute_features(source, se, sp)
         else:
-            se = _azimuth_perm(source.edge_points, source.edge_mask)
-            sp = _azimuth_perm(source.planar_points, source.planar_mask)
-        source = _permute_features(source, se, sp)
+            source, se, sp = _azimuth_sort_with_perms(source)
     if reorder_tgt:
         if reorder_mode == "given":
             te, tp = target_perms
+            target = _permute_features(target, te, tp)
         else:
-            te = _azimuth_perm(target.edge_points, target.edge_mask)
-            tp = _azimuth_perm(target.planar_points, target.planar_mask)
-        target = _permute_features(target, te, tp)
+            target, te, tp = _azimuth_sort_with_perms(target)
 
     detail0 = IterationInfo(
         target_T_source_init=Pose3.identity(dtype, (I,)),
