@@ -119,6 +119,51 @@ def _greedy_pass(
     return mask, picks
 
 
+def _sector_sort(c_all, cl_all, pos_b, mode: str):
+    """Sort every (line, sector) slice ascending by curvature.
+
+    Returns (sorted hi, sorted lo, sorted positions); lo is zeros when
+    ``cl_all`` is None. Two implementations with identical output:
+
+      * ``xla``: one batched stable ``lax.sort`` along the slice axis;
+      * ``bitonic``: the VMEM bitonic network (``ops/bitonic.py``) on the
+        transposed (slice, line*sector) layout — slices on sublanes, the
+        batch on lanes — with position as an explicit last sort key (the
+        total order stability otherwise provides, since positions increase
+        across each slice and padding rows are fully identical).
+
+    mode: xla|bitonic|auto (from ``FeatureExtractionParams.sector_sort``);
+    auto = bitonic on a real TPU backend, xla elsewhere (the unrolled
+    network is slow to compile/run off-TPU).
+    """
+    if mode == "auto":
+        from ..ops.knn_pallas import pallas_supported
+
+        mode = "bitonic" if pallas_supported() else "xla"
+    L, S, m = c_all.shape
+    if mode == "bitonic":
+        from ..ops.bitonic import bitonic_sort
+
+        c_t = c_all.reshape(L * S, m).T
+        pos_t = pos_b.reshape(L * S, m).T
+        if cl_all is not None:
+            cl_t = cl_all.reshape(L * S, m).T
+            sc_t, scl_t, sp_t = bitonic_sort((c_t, cl_t, pos_t), num_keys=3)
+        else:
+            sc_t, sp_t = bitonic_sort((c_t, pos_t), num_keys=2)
+            scl_t = jnp.zeros_like(sc_t)
+        back = lambda x: x.T.reshape(L, S, m)
+        return back(sc_t), back(scl_t), back(sp_t)
+    if cl_all is not None:
+        return lax.sort(
+            (c_all, cl_all, pos_b), dimension=-1, num_keys=2, is_stable=True
+        )
+    sc_all, spos_all = lax.sort(
+        (c_all, pos_b), dimension=-1, num_keys=1, is_stable=True
+    )
+    return sc_all, jnp.zeros_like(sc_all), spos_all
+
+
 @functools.partial(jax.jit, static_argnames=("lidar", "params"))
 def extract_features(
     scan: jax.Array,
@@ -189,27 +234,23 @@ def _extract_core(
 
     inf = jnp.asarray(jnp.inf, curv.dtype)
 
-    # Sort ALL (line, sector) slices in ONE batched lax.sort, hoisted out of
-    # the sector scan (the sort does not depend on the evolving NMS mask).
+    # Sort ALL (line, sector) slices in ONE batched sort, hoisted out of the
+    # sector scan (the sort does not depend on the evolving NMS mask).
     # Position and slot-validity ride along as sort values — no post-sort
     # gathers (TPU gathers are expensive). The precise path sorts
-    # lexicographically on the double-float (hi, lo) pair via num_keys=2;
-    # stability pins the oracle's canonical (curvature, index) tie order.
+    # lexicographically on the double-float (hi, lo) pair; stability (or the
+    # position tie-break key on the bitonic path — same total order, since
+    # positions increase across each slice) pins the oracle's canonical
+    # (curvature, index) tie order.
     c_all = jnp.where(slotv_all[None], curv[:, pos_all], inf)  # (L, S, s_max)
     pos_b = jnp.broadcast_to(pos_all[None], c_all.shape)
     if curv_lo is not None:
         cl_all = jnp.where(slotv_all[None], curv_lo.reshape(L, P)[:, pos_all], 0.0)
-        sc_all, sc_lo_all, spos_all = lax.sort(
-            (c_all, cl_all, pos_b),
-            dimension=-1,
-            num_keys=2,
-            is_stable=True,
-        )
     else:
-        sc_all, spos_all = lax.sort(
-            (c_all, pos_b), dimension=-1, num_keys=1, is_stable=True
-        )
-        sc_lo_all = jnp.zeros_like(c_all)
+        cl_all = None
+    sc_all, sc_lo_all, spos_all = _sector_sort(
+        c_all, cl_all, pos_b, params.sector_sort
+    )
     # slot validity needs no sort operand: padding slots (and only they)
     # carry the +inf key — real curvature is finite (bounded sums of squares)
     ssv_all = sc_all < inf

@@ -81,6 +81,13 @@ class FeatureExtractionParams:
     #: points themselves stay f32 either way. Only affects f32 scans; f64
     #: scans already match the oracle directly.
     precise_selection: bool = True
+    #: TPU-build extension (not in reference): implementation of the
+    #: per-sector curvature sort — "auto" (VMEM bitonic network on a real
+    #: TPU backend, batched stable ``lax.sort`` elsewhere), "xla", or
+    #: "bitonic". All produce identical output (the bitonic path adds the
+    #: slot position as an explicit final sort key, the same total order
+    #: stability provides); this knob exists for hardware A/B sweeps.
+    sector_sort: str = "auto"
 
     def __post_init__(self):
         if self.neighbor_points < 1:
