@@ -1,0 +1,98 @@
+"""Pallas kernel for assembling picked feature coordinates.
+
+The extraction driver ends by gathering the picked points' coordinates out
+of the scan: ``pts[flat_idx]`` for ~24k picks from a 65k-point scan. XLA
+lowers that to a serialized gather (~2.2 ms/run in extraction traces — the
+same scatter/gather weakness the kNN and sort paths already avoid). This
+kernel replaces it with the iota-compare + masked-reduce idiom: for each
+scan line, build ``eq[p, c] = (p == picks[c])`` and reduce the masked
+coordinate columns over the point axis (sublanes — the cheap reduction
+axis). Work is ~L * P * C_pad vector ops, all in VMEM, streaming the scan
+and the picks exactly once.
+
+Semantics match the gather exactly: picks are within-line point indices,
+``-1`` (or any negative) yields zeros — the driver's ``where(mask, p, 0)``
+padding convention. Duplicate picks are allowed (each output slot reduces
+its own one-hot row).
+
+Reference context: this implements the coordinate copy-out of
+``extractSectorEdgeFeatures``/``extractSectorPlanarFeatures`` pushing
+``scan.at(idx)`` into the output vectors (``features-inl.h:146,168``).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = os.environ.get("LOAM_PALLAS_INTERPRET", "0") == "1"
+
+
+def _select_kernel(x_ref, y_ref, z_ref, picks_ref, ox_ref, oy_ref, oz_ref):
+    pk = picks_ref[...]  # (1, C) int32, -1 = invalid
+    p = x_ref.shape[0]
+    c = pk.shape[1]
+    iota = lax.broadcasted_iota(jnp.int32, (p, c), 0)
+    eq = iota == pk  # (P, C); negative picks match nothing
+    for src, dst in ((x_ref, ox_ref), (y_ref, oy_ref), (z_ref, oz_ref)):
+        col = src[...]  # (P, 1)
+        sel = jnp.where(eq, col, jnp.asarray(0.0, col.dtype))
+        dst[...] = jnp.sum(sel, axis=0, keepdims=True)
+
+
+def select_points(pts: jax.Array, picks: jax.Array, impl: str = "auto"):
+    """Per-line coordinate selection: out[l, c] = pts[l, picks[l, c]].
+
+    Args:
+      pts: (L, P, 3) scan points.
+      picks: (L, C) int32 within-line indices; negative -> zeros.
+      impl: "auto" (Pallas on a real TPU, gather elsewhere), "gather",
+        or "pallas" (honors LOAM_PALLAS_INTERPRET for CPU coverage).
+    Returns:
+      (L, C, 3) selected coordinates, zeros at negative picks.
+    """
+    L, P, _ = pts.shape
+    C = picks.shape[1]
+    if impl == "auto":
+        from .knn_pallas import pallas_supported
+
+        impl = "pallas" if (pallas_supported() and not _INTERPRET) else "gather"
+    if impl == "gather":
+        sel = jnp.take_along_axis(
+            pts, jnp.maximum(picks, 0)[..., None], axis=1
+        )
+        return jnp.where(picks[..., None] >= 0, sel, 0)
+
+    cpad = max(-(-C // 128) * 128, 128)
+    ppad = max(-(-P // 8) * 8, 8)
+    picks_p = jnp.pad(picks.astype(jnp.int32), ((0, 0), (0, cpad - C)),
+                      constant_values=-1)
+    # (P, L) per-coordinate columns; padding rows can never match a pick
+    # (picks are < P)
+    coords = [
+        jnp.pad(pts[:, :, a].T, ((0, ppad - P), (0, 0))) for a in range(3)
+    ]
+    outs = pl.pallas_call(
+        _select_kernel,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((ppad, 1), lambda l: (0, l), memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ]
+        + [pl.BlockSpec((1, cpad), lambda l: (l, 0), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((1, cpad), lambda l: (l, 0), memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, cpad), pts.dtype) for _ in range(3)
+        ],
+        interpret=_INTERPRET,
+    )(*coords, picks_p)
+    return jnp.stack([o[:, :C] for o in outs], axis=-1)

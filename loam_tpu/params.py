@@ -88,6 +88,11 @@ class FeatureExtractionParams:
     #: slot position as an explicit final sort key, the same total order
     #: stability provides); this knob exists for hardware A/B sweeps.
     sector_sort: str = "auto"
+    #: TPU-build extension (not in reference): implementation of the picked
+    #: feature coordinate copy-out — "auto" (Pallas iota-compare/reduce
+    #: kernel on a real TPU backend, XLA gather elsewhere), "gather", or
+    #: "pallas". Identical output; hardware A/B knob.
+    feature_assemble: str = "auto"
 
     def __post_init__(self):
         if self.neighbor_points < 1:
