@@ -29,20 +29,34 @@ import time
 import numpy as np
 
 
+def _feat_params(safe: bool):
+    from loam_tpu.params import FeatureExtractionParams
+
+    precise = os.environ.get("LOAM_BENCH_PRECISE", "1") != "0"
+    if safe:
+        # conservative pre-kernel extraction paths, in case the Pallas
+        # sector-sort / assemble kernels fail on this device/runtime
+        return FeatureExtractionParams(
+            precise_selection=precise,
+            sector_sort="xla",
+            feature_assemble="gather",
+        )
+    return FeatureExtractionParams(precise_selection=precise)
+
+
 def _run_bench(
-    frames: int, reps: int, backend: str, chunk: int, motion_init: bool
+    frames: int, reps: int, backend: str, chunk: int, motion_init: bool,
+    safe: bool = False,
 ) -> float:
     import jax
     import jax.numpy as jnp
 
     from loam_tpu import LidarParams, odometry_offline
-    from loam_tpu.params import FeatureExtractionParams, RegistrationParams
+    from loam_tpu.params import RegistrationParams
     from loam_tpu.io import render_trajectory
 
     lidar = LidarParams(64, 1024, 0.5, 120.0)
-    feat_params = FeatureExtractionParams(
-        precise_selection=os.environ.get("LOAM_BENCH_PRECISE", "1") != "0"
-    )
+    feat_params = _feat_params(safe)
     reg_params = RegistrationParams(search_backend=backend)
 
     scans, _ = render_trajectory(
@@ -75,7 +89,7 @@ def _run_bench(
     return frames * reps / elapsed
 
 
-def _run_bench_scan_to_map(frames: int, reps: int) -> float:
+def _run_bench_scan_to_map(frames: int, reps: int, safe: bool = False) -> float:
     """Scan-to-map throughput: sequential mapping loop, one dispatch per
     trajectory (``scan_to_map_offline``), default map capacities
     (1<<15 edge / 1<<17 planar slots), hardware-default search backend."""
@@ -98,7 +112,9 @@ def _run_bench_scan_to_map(frames: int, reps: int) -> float:
     scans = jnp.asarray(scans)
 
     def run():
-        state, traj, details = scan_to_map_offline(scans, lidar)
+        state, traj, details = scan_to_map_offline(
+            scans, lidar, feat_params=_feat_params(safe)
+        )
         jax.block_until_ready(traj)
         return traj
 
@@ -119,16 +135,24 @@ def main():
     motion_init = os.environ.get("LOAM_BENCH_MOTION_INIT", "1") != "0"
 
     scans_per_sec = None
+    safe = os.environ.get("LOAM_BENCH_SAFE", "0") == "1"
     while True:
         try:
             if mode == "scan_to_map":
-                scans_per_sec = _run_bench_scan_to_map(frames, reps)
+                scans_per_sec = _run_bench_scan_to_map(frames, reps, safe)
             else:
                 scans_per_sec = _run_bench(
-                    frames, reps, backend, chunk, motion_init
+                    frames, reps, backend, chunk, motion_init, safe
                 )
             break
         except Exception as e:  # transient remote-compile/device aborts
+            if not safe:
+                # first rung: retire the Pallas extraction kernels in case
+                # the failure is a deterministic kernel-compile error
+                safe = True
+                print(f"# bench failed ({type(e).__name__}); retrying with "
+                      f"safe extraction params", file=sys.stderr)
+                continue
             if frames <= 6:
                 raise
             frames = max(6, frames // 2)

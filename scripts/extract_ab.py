@@ -1,0 +1,109 @@
+"""In-process A/B of the extraction kernels (sector sort + assemble).
+
+Compares, back-to-back in ONE process (session throughput varies ~15%):
+  1. batched extraction alone, 4 combos of
+     sector_sort in {xla, bitonic} x feature_assemble in {gather, pallas};
+  2. end-to-end scan-to-scan odometry with the old (xla+gather) vs new
+     (bitonic+pallas) extraction.
+
+Correctness: every combo's FeatureSet is asserted identical to the
+xla+gather baseline before timing (they are exact-equality paths).
+
+Run: python scripts/extract_ab.py
+"""
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def timed(name, fn, scans_per_rep, reps=4):
+    fn(0)  # compile + warm
+    t0 = time.perf_counter()
+    for i in range(reps):
+        fn(i + 1)
+    dt = time.perf_counter() - t0
+    print(f"{name:55s} {scans_per_rep*reps/dt:8.1f} scans/s"
+          f"   ({dt/reps*1e3/scans_per_rep:6.3f} ms/scan)", flush=True)
+
+
+def main():
+    from loam_tpu import LidarParams, extract_features, odometry_offline
+    from loam_tpu.params import FeatureExtractionParams
+    from loam_tpu.io import render_trajectory
+
+    lidar = LidarParams(64, 1024, 0.5, 120.0)
+    F = 32
+    scans, _ = render_trajectory(
+        lidar, F, step=np.array([0.08, 0.02, 0.0]), yaw_rate=0.01,
+        noise=0.005, seed=0, dtype=np.float32,
+    )
+    scans = jnp.asarray(scans)
+    print("devices:", jax.devices(), flush=True)
+
+    base = FeatureExtractionParams()
+    combos = [
+        ("xla     + gather", dataclasses.replace(base, sector_sort="xla", feature_assemble="gather")),
+        ("bitonic + gather", dataclasses.replace(base, sector_sort="bitonic", feature_assemble="gather")),
+        ("xla     + pallas", dataclasses.replace(base, sector_sort="xla", feature_assemble="pallas")),
+        ("bitonic + pallas", dataclasses.replace(base, sector_sort="bitonic", feature_assemble="pallas")),
+    ]
+
+    @jax.jit
+    def batch_extract(s, p):
+        return jax.vmap(lambda x: extract_features(x, lidar, p))(s)
+
+    extract_jits = {
+        name: jax.jit(lambda s, pp=p: jax.vmap(
+            lambda x: extract_features(x, lidar, pp))(s))
+        for name, p in combos
+    }
+
+    # correctness first: exact equality across combos
+    ref = None
+    for name, p in combos:
+        fs = extract_jits[name](scans)
+        got = {f: np.asarray(getattr(fs, f)) for f in (
+            "edge_points", "edge_mask", "edge_indices",
+            "planar_points", "planar_mask", "planar_indices")}
+        if ref is None:
+            ref = got
+        else:
+            for f, v in got.items():
+                np.testing.assert_array_equal(v, ref[f], err_msg=f"{name}:{f}")
+    print("all combos exact-equal", flush=True)
+
+    for name, p in combos:
+        fn = extract_jits[name]
+        timed(
+            f"extract batched [{name}]",
+            lambda i, fn=fn: float(jnp.sum(fn(scans + jnp.float32(1e-6) * i).planar_points)),
+            F,
+        )
+
+    F2 = 64
+    scans2, _ = render_trajectory(
+        lidar, F2, step=np.array([0.08, 0.02, 0.0]), yaw_rate=0.01,
+        noise=0.005, seed=0, dtype=np.float32,
+    )
+    scans2 = jnp.asarray(scans2)
+
+    for name, p in [combos[0], combos[-1]]:
+        def run(i, p=p):
+            traj, det = odometry_offline(
+                scans2 + jnp.float32(1e-6) * i, lidar, feat_params=p,
+                motion_init=True,
+            )
+            return float(jnp.sum(traj.translation))
+        timed(f"odometry_offline e2e [{name}]", run, F2)
+
+
+if __name__ == "__main__":
+    main()
