@@ -119,6 +119,16 @@ def _greedy_pass(
     return mask, picks
 
 
+def _nms_impl(mode: str) -> str:
+    """Resolve the greedy-NMS impl knob: auto = Pallas kernel on a real TPU
+    backend (mask resident in VMEM), per-line XLA scans elsewhere."""
+    if mode == "auto":
+        from ..ops.knn_pallas import pallas_supported, _INTERPRET
+
+        return "pallas" if (pallas_supported() and not _INTERPRET) else "xla"
+    return mode
+
+
 def _sector_sort(c_all, cl_all, pos_b, mode: str):
     """Sort every (line, sector) slice ascending by curvature.
 
@@ -277,6 +287,14 @@ def _extract_core(
         def below_planar(hi, lo):
             return hi < planar_thresh
 
+    # Candidate lists, hoisted: threshold-prefiltered sorted positions per
+    # (line, sector, class); -1 = not a candidate. Edge pass walks
+    # descending curvature = reversed stable-sorted order.
+    cand_e_all = jnp.where(above_edge(sc_all, sc_lo_all) & ssv_all, spos_all, -1)[
+        ..., ::-1
+    ]
+    cand_p_all = jnp.where(below_planar(sc_all, sc_lo_all) & ssv_all, spos_all, -1)
+
     # Sector loop is PYTHON-unrolled (S is static): every sector's greedy
     # passes then operate on a STATIC slice of the line mask — the sector's
     # span plus an (N-1)-point margin each side (the reach of cross-sector
@@ -287,37 +305,37 @@ def _extract_core(
     # compaction): a candidate that is masked (or suppressed later) is
     # visited as a no-op that does not count toward the cap — exactly the
     # reference's live ``valid_mask[idx]`` check (``features-inl.h:144``).
+    # On TPU the whole serial stage runs as ONE Pallas kernel with the
+    # evolving mask resident in VMEM (ops/nms_pallas.py) — identical
+    # output; the XLA fallback scans per line below.
     pps = P // S
+    if _nms_impl(params.greedy_nms) == "pallas":
+        from ..ops.nms_pallas import greedy_nms
 
-    def line_fn(valid_l, spos_l, sc_l, scl_l, ssv_l):
-        mask = valid_l
-        e_picks, p_picks = [], []
-        for s in range(S):
-            size = s_max if s == S - 1 else pps
-            lo = max(s * pps - (N - 1), 0)
-            hi = min(s * pps + size + (N - 1), P)
-            msl = lax.slice_in_dim(mask, lo, hi, axis=0)
+        edge_picks, planar_picks = greedy_nms(
+            valid, cand_e_all, cand_p_all, max_e, max_p, N, pps, s_max
+        )
+    else:
+        def line_fn(valid_l, cand_e_l, cand_p_l):
+            mask = valid_l
+            e_picks, p_picks = [], []
+            for s in range(S):
+                size = s_max if s == S - 1 else pps
+                lo = max(s * pps - (N - 1), 0)
+                hi = min(s * pps + size + (N - 1), P)
+                msl = lax.slice_in_dim(mask, lo, hi, axis=0)
 
-            # edge pass: descending curvature = reversed stable-sorted order
-            cand_e = jnp.where(
-                ssv_l[s] & above_edge(sc_l[s], scl_l[s]), spos_l[s], -1
-            )[::-1]
-            msl, pe = _greedy_pass(msl, cand_e, max_e, N, offset=lo)
+                msl, pe = _greedy_pass(msl, cand_e_l[s], max_e, N, offset=lo)
+                msl, pp_ = _greedy_pass(msl, cand_p_l[s], max_p, N, offset=lo)
 
-            # planar pass: ascending curvature
-            cand_p = jnp.where(
-                ssv_l[s] & below_planar(sc_l[s], scl_l[s]), spos_l[s], -1
-            )
-            msl, pp_ = _greedy_pass(msl, cand_p, max_p, N, offset=lo)
+                mask = lax.dynamic_update_slice_in_dim(mask, msl, lo, axis=0)
+                e_picks.append(pe)
+                p_picks.append(pp_)
+            return jnp.stack(e_picks), jnp.stack(p_picks)
 
-            mask = lax.dynamic_update_slice_in_dim(mask, msl, lo, axis=0)
-            e_picks.append(pe)
-            p_picks.append(pp_)
-        return jnp.stack(e_picks), jnp.stack(p_picks)
-
-    edge_picks, planar_picks = jax.vmap(line_fn)(
-        valid, spos_all, sc_all, sc_lo_all, ssv_all
-    )
+        edge_picks, planar_picks = jax.vmap(line_fn)(
+            valid, cand_e_all, cand_p_all
+        )
 
     line_offsets = (jnp.arange(L, dtype=jnp.int32) * P)[:, None, None]
 

@@ -93,6 +93,11 @@ class FeatureExtractionParams:
     #: kernel on a real TPU backend, XLA gather elsewhere), "gather", or
     #: "pallas". Identical output; hardware A/B knob.
     feature_assemble: str = "auto"
+    #: TPU-build extension (not in reference): implementation of the serial
+    #: greedy NMS pick — "auto" (single Pallas kernel with the evolving
+    #: validity mask resident in VMEM on a real TPU backend, per-line XLA
+    #: scans elsewhere), "xla", or "pallas". Identical output; A/B knob.
+    greedy_nms: str = "auto"
 
     def __post_init__(self):
         if self.neighbor_points < 1:

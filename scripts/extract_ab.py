@@ -48,12 +48,17 @@ def main():
     scans = jnp.asarray(scans)
     print("devices:", jax.devices(), flush=True)
 
-    base = FeatureExtractionParams()
+    base = FeatureExtractionParams(
+        sector_sort="xla", feature_assemble="gather", greedy_nms="xla"
+    )
     combos = [
-        ("xla     + gather", dataclasses.replace(base, sector_sort="xla", feature_assemble="gather")),
-        ("bitonic + gather", dataclasses.replace(base, sector_sort="bitonic", feature_assemble="gather")),
-        ("xla     + pallas", dataclasses.replace(base, sector_sort="xla", feature_assemble="pallas")),
-        ("bitonic + pallas", dataclasses.replace(base, sector_sort="bitonic", feature_assemble="pallas")),
+        ("baseline (xla sort, gather, xla nms)", base),
+        ("+bitonic sort", dataclasses.replace(base, sector_sort="bitonic")),
+        ("+pallas assemble", dataclasses.replace(base, feature_assemble="pallas")),
+        ("+pallas nms", dataclasses.replace(base, greedy_nms="pallas")),
+        ("all kernels", dataclasses.replace(
+            base, sector_sort="bitonic", feature_assemble="pallas",
+            greedy_nms="pallas")),
     ]
 
     @jax.jit

@@ -1,0 +1,65 @@
+"""Pallas greedy-NMS kernel vs the per-line XLA scan — exact equality.
+
+Interpret mode executes the kernel's fori step loop one op at a time, so
+cases stay tiny; the kernel/XLA equality at full Ouster-64 scale is covered
+by scripts/extract_ab.py on hardware.
+"""
+
+import dataclasses
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from loam_tpu import LidarParams, extract_features
+from loam_tpu.params import FeatureExtractionParams
+from loam_tpu.io import render_scan
+
+
+def _compare(lidar, params, seed):
+    scan = jnp.asarray(
+        render_scan(lidar, noise=0.02, seed=seed, dtype=np.float32)
+    )
+    a = extract_features(
+        scan, lidar, dataclasses.replace(params, greedy_nms="xla")
+    )
+    b = extract_features(
+        scan, lidar, dataclasses.replace(params, greedy_nms="pallas")
+    )
+    for name in (
+        "edge_points", "edge_mask", "edge_indices",
+        "planar_points", "planar_mask", "planar_indices",
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            err_msg=name,
+        )
+
+
+def test_greedy_nms_kernel_exact_equality():
+    lidar = LidarParams(4, 64, 0.5, 80.0)
+    params = FeatureExtractionParams(
+        number_sectors=2,
+        max_edge_feats_per_sector=2,
+        max_planar_feats_per_sector=5,
+        neighbor_points=2,
+        # loose thresholds -> long candidate lists, caps + suppression and
+        # the cross-sector window all get exercised
+        edge_feat_threshold=0.5,
+        planar_feat_threshold=5.0,
+    )
+    _compare(lidar, params, seed=0)
+
+
+def test_greedy_nms_kernel_remainder_sector():
+    # points_per_line % sectors != 0: the last sector absorbs the remainder
+    lidar = LidarParams(3, 50, 0.5, 80.0)
+    params = FeatureExtractionParams(
+        number_sectors=3,
+        max_edge_feats_per_sector=1,
+        max_planar_feats_per_sector=3,
+        neighbor_points=1,
+        edge_feat_threshold=1.0,
+        planar_feat_threshold=2.0,
+    )
+    _compare(lidar, params, seed=1)
