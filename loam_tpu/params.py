@@ -191,6 +191,12 @@ class RegistrationParams:
     #: m^2) keeps those components at the motion prior while perturbing
     #: well-observed solves by <1%.
     prior_weight: float = 0.0
+    #: Implementation of the inner LM solve — "auto" (single Pallas kernel
+    #: on a real TPU backend: all sweeps, reductions, the 6x6 Cholesky and
+    #: accept/reject logic in one VMEM-resident launch; XLA op-chain
+    #: elsewhere), "xla", or "pallas". Same step semantics; reduction order
+    #: differs (f32 ulp-level divergence only). Hardware A/B knob.
+    lm_impl: str = "auto"
     #: Neighbor-search backend: "bruteforce" (exact MXU distance matrices,
     #: best for feature-set-sized targets) or "grid" (voxel-hash, best for
     #: map-scale targets; exact up to ``grid_max_per_cell`` occupancy).

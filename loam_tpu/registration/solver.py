@@ -192,6 +192,16 @@ def lm_solve(
 
     Returns (delta, final_cost).
     """
+    impl = params.lm_impl
+    if impl == "auto":
+        from ..ops.knn_pallas import pallas_supported, _INTERPRET
+
+        impl = "pallas" if (pallas_supported() and not _INTERPRET) else "xla"
+    if impl == "pallas":
+        from ..ops.lm_pallas import lm_solve_pallas
+
+        return lm_solve_pallas(problem, params)
+
     dtype = problem.pts_edge.dtype
     delta0 = Pose3.identity(dtype)
     lam0 = jnp.asarray(1e-4, dtype)
