@@ -272,11 +272,8 @@ def _lm_kernel(
             dmax = jnp.maximum(dmax, diag[i])
         Hd = [
             [
-                H[i][k] + jnp.where(
-                    jnp.full((1, 1), i == k, jnp.bool_),
-                    lam * diag[i] + 1e-6 * dmax + 1e-10,
-                    0.0,
-                )
+                H[i][k] + (lam * diag[i] + 1e-6 * dmax + 1e-10)
+                if i == k else H[i][k]
                 for k in range(6)
             ]
             for i in range(6)
@@ -317,20 +314,18 @@ def lm_solve_pallas(problem, params):
 
     dtype = jnp.float32
 
-    def pack3(arr, n):
+    def pack3(arr):
         # (N, 3) -> (3*rows, 128) stacked component blocks
         return jnp.concatenate(
             [_pad_rows(arr[:, a].astype(dtype)) for a in range(3)], axis=0
         )
 
-    e = problem.pts_edge.shape[0]
-    q = problem.pts_plane.shape[0]
-    pe = pack3(problem.pts_edge, e)
-    ea = pack3(problem.edge.line_a, e)
-    eb = pack3(problem.edge.line_b, e)
+    pe = pack3(problem.pts_edge)
+    ea = pack3(problem.edge.line_a)
+    eb = pack3(problem.edge.line_b)
     ev = _pad_rows(problem.edge.valid.astype(dtype))
-    pp_ = pack3(problem.pts_plane, q)
-    pn = pack3(problem.plane.normal, q)
+    pp_ = pack3(problem.pts_plane)
+    pn = pack3(problem.plane.normal)
     pd = _pad_rows(problem.plane.d.astype(dtype))
     pv = _pad_rows(problem.plane.valid.astype(dtype))
 
