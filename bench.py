@@ -89,6 +89,45 @@ def _run_bench(
     return frames * reps / elapsed
 
 
+def _run_bench_batched_pairs(frames: int, reps: int, safe: bool = False) -> float:
+    """Batched multi-pair registration (BASELINE config 4): extract all
+    frames in one vmapped call, register every consecutive pair in one
+    lockstep ``register_features_batch`` on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from loam_tpu import LidarParams, extract_features
+    from loam_tpu.geometry import Pose3
+    from loam_tpu.params import RegistrationParams
+    from loam_tpu.registration.icf import register_features_batch
+    from loam_tpu.io import render_trajectory
+
+    lidar = LidarParams(64, 1024, 0.5, 120.0)
+    scans, _ = render_trajectory(
+        lidar, frames, step=np.array([0.08, 0.02, 0.0]), yaw_rate=0.01,
+        noise=0.005, seed=0, dtype=np.float32,
+    )
+    scans = jnp.asarray(scans)
+    feat_params = _feat_params(safe)
+    reg_params = RegistrationParams()
+
+    @jax.jit
+    def run(s):
+        feats = jax.vmap(lambda x: extract_features(x, lidar, feat_params))(s)
+        src = jax.tree.map(lambda x: x[1:], feats)
+        tgt = jax.tree.map(lambda x: x[:-1], feats)
+        init = Pose3.identity(jnp.float32, (frames - 1,))
+        pose, detail = register_features_batch(src, tgt, init, reg_params)
+        return pose
+
+    pose = run(scans)
+    assert bool(jnp.isfinite(pose.translation).all()), "non-finite poses"
+    t0 = time.perf_counter()
+    for i in range(reps):
+        jax.block_until_ready(run(scans + jnp.float32(1e-6) * (i + 1)))
+    return frames * reps / (time.perf_counter() - t0)
+
+
 def _run_bench_scan_to_map(frames: int, reps: int, safe: bool = False) -> float:
     """Scan-to-map throughput: sequential mapping loop, one dispatch per
     trajectory (``scan_to_map_offline``), default map capacities
@@ -140,6 +179,8 @@ def main():
         try:
             if mode == "scan_to_map":
                 scans_per_sec = _run_bench_scan_to_map(frames, reps, safe)
+            elif mode == "batched_pairs":
+                scans_per_sec = _run_bench_batched_pairs(frames, reps, safe)
             else:
                 scans_per_sec = _run_bench(
                     frames, reps, backend, chunk, motion_init, safe
@@ -160,11 +201,10 @@ def main():
                   f"{frames} frames", file=sys.stderr)
 
     baseline = 1000.0 / 16.5  # reference: 3.5 ms extract + 13 ms register
-    metric = (
-        "e2e_odometry_throughput"
-        if mode != "scan_to_map"
-        else "e2e_scan_to_map_throughput"
-    )
+    metric = {
+        "scan_to_map": "e2e_scan_to_map_throughput",
+        "batched_pairs": "batched_pair_registration_throughput",
+    }.get(mode, "e2e_odometry_throughput")
     print(
         json.dumps(
             {
