@@ -252,10 +252,26 @@ def _extract_core(
     # position tie-break key on the bitonic path — same total order, since
     # positions increase across each slice) pins the oracle's canonical
     # (curvature, index) tie order.
-    c_all = jnp.where(slotv_all[None], curv[:, pos_all], inf)  # (L, S, s_max)
+    # Sector slicing is pure static slices + pads (sectors are contiguous
+    # ranges; only the last absorbs the remainder) — no (L, P) gather.
+    pps0 = P // S
+
+    def to_sectors(x2d, fill):
+        parts = []
+        for s in range(S):
+            size = s_max if s == S - 1 else pps0
+            sl = lax.slice_in_dim(x2d, s * pps0, s * pps0 + size, axis=1)
+            if size < s_max:
+                sl = jnp.pad(
+                    sl, ((0, 0), (0, s_max - size)), constant_values=fill
+                )
+            parts.append(sl)
+        return jnp.stack(parts, axis=1)  # (L, S, s_max)
+
+    c_all = to_sectors(curv, jnp.inf)  # padding slots carry +inf keys
     pos_b = jnp.broadcast_to(pos_all[None], c_all.shape)
     if curv_lo is not None:
-        cl_all = jnp.where(slotv_all[None], curv_lo.reshape(L, P)[:, pos_all], 0.0)
+        cl_all = to_sectors(curv_lo.reshape(L, P), 0.0)
     else:
         cl_all = None
     sc_all, sc_lo_all, spos_all = _sector_sort(
