@@ -70,13 +70,14 @@ def _voxel_key(map_: VoxelMap, pts: jax.Array, valid: jax.Array) -> jax.Array:
     return jnp.where(valid, key, jnp.iinfo(jnp.int32).max)
 
 
-@functools.partial(jax.jit, static_argnames=("keep_radius",))
+@functools.partial(jax.jit, static_argnames=("keep_radius", "impl"))
 def voxel_map_insert(
     map_: VoxelMap,
     new_points: jax.Array,
     new_mask: jax.Array,
     center: Optional[jax.Array] = None,
     keep_radius: float = 0.0,
+    impl: str = "auto",
 ) -> Tuple[VoxelMap, jax.Array]:
     """Insert points, voxel-downsample, optionally evict far points.
 
@@ -85,6 +86,8 @@ def voxel_map_insert(
         frame); ``new_mask`` their validity.
       center: if given with ``keep_radius > 0``, points farther than
         ``keep_radius`` from ``center`` (sensor position) are evicted.
+      impl: "auto" (bitonic path on a real TPU backend, lax.sort + scatter
+        elsewhere), "scatter", or "bitonic". Identical map contents.
 
     Returns: (new_map, dropped) — ``dropped`` counts occupied voxels that
       did not fit in capacity (voxels with the largest keys are dropped;
@@ -98,19 +101,60 @@ def voxel_map_insert(
         valid = valid & (dist <= keep_radius)
 
     keys = _voxel_key(map_, pts, valid)
+    idx = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    int_max = jnp.iinfo(jnp.int32).max
+
+    if impl == "auto":
+        from ..ops.knn_pallas import pallas_supported, _INTERPRET
+
+        impl = "bitonic" if (pallas_supported() and not _INTERPRET) else "scatter"
+
+    if impl == "bitonic":
+        # Two VMEM-resident bitonic kernels replace the (C+N)-row lax.sort
+        # AND the compaction scatter (both fixed-cost serialized ops on
+        # TPU): sort by (key, slot) — the slot tie-break reproduces the
+        # stable order, so existing map points (first in the concat) win
+        # their voxel — then partition survivors to the front by sorting on
+        # their destination slot, and take the first C rows. No scatter.
+        from ..ops.bitonic import bitonic_sort_1d
+
+        skeys, _, sx, sy, sz = bitonic_sort_1d(
+            (keys, idx, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=2
+        )
+        first = jnp.concatenate(
+            [jnp.asarray([True]), skeys[1:] != skeys[:-1]]
+        ) & (skeys != int_max)
+        dest = (jnp.cumsum(first, dtype=jnp.int32) - 1).astype(jnp.int32)
+        total = jnp.sum(first, dtype=jnp.int32)
+        dropped = jnp.maximum(total - C, 0)
+        key2 = jnp.where(first & (dest < C), dest, int_max)
+        _, ox, oy, oz = bitonic_sort_1d(
+            (key2, sx, sy, sz), num_keys=1
+        )
+        count = jnp.minimum(total, C)
+        out_mask = jnp.arange(C, dtype=jnp.int32) < count
+        out_pts = jnp.where(
+            out_mask[:, None],
+            jnp.stack([ox[:C], oy[:C], oz[:C]], axis=-1),
+            0,
+        )
+        return (
+            VoxelMap(out_pts, out_mask, map_.voxel_size, map_.origin),
+            dropped,
+        )
+
     # Stable sort: equal keys keep buffer order, so existing map points (which
     # come first in the concat) win their voxel against new observations.
     # One multi-operand lax.sort carries the coordinates through the sort
     # directly (slot index as tiebreak key = stability); argsort + a (C+N, 3)
     # take costs two extra TPU gathers (~100-200 us each per o(100k) rows).
-    idx = jnp.arange(keys.shape[0], dtype=jnp.int32)
     skeys, _, sx, sy, sz = jax.lax.sort(
         (keys, idx, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=2
     )
     spts = jnp.stack([sx, sy, sz], axis=-1)
     first = jnp.concatenate(
         [jnp.asarray([True]), skeys[1:] != skeys[:-1]]
-    ) & (skeys != jnp.iinfo(jnp.int32).max)
+    ) & (skeys != int_max)
     dest = jnp.cumsum(first) - 1
     total = jnp.sum(first, dtype=jnp.int32)
     dropped = jnp.maximum(total - C, 0)

@@ -95,6 +95,114 @@ def bitonic_network(arrays: Sequence[jax.Array], num_keys: int):
     return tuple(arrays)
 
 
+def bitonic_network_1d(arrays: Sequence[jax.Array], num_keys: int, n: int):
+    """Bitonic network over ONE logical sequence of length ``n`` laid out
+    lane-major on (R, 128) arrays: linear index i lives at
+    (row = i % R, lane = i // R).
+
+    With this layout the XOR partner at distance d < R is a sublane rotate
+    and at d >= R a lane rotate (d and R are powers of two, so d >= R is
+    always a whole-lane distance) — the only two cheap data movements on
+    the VPU. Only log2(n) - log2(R) of the log-squared substeps touch
+    lanes. Same ordering semantics as :func:`bitonic_network`.
+    """
+    r, lanes = arrays[0].shape
+    assert n == r * lanes and n & (n - 1) == 0
+    arrays = list(arrays)
+    row = jax.lax.broadcasted_iota(jnp.int32, (r, lanes), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, lanes), 1)
+    linear = lane * r + row
+    k = 2
+    while k <= n:
+        j = k // 2
+        while j >= 1:
+            a_mask = (linear & j) == 0
+            desc = (linear & k) != 0
+            keep_min = a_mask ^ desc
+
+            if j < r:
+                fwd = [jnp.roll(x, -j, axis=0) for x in arrays]
+                bwd = [jnp.roll(x, j, axis=0) for x in arrays]
+            else:
+                jl = j // r
+                fwd = [jnp.roll(x, -jl, axis=1) for x in arrays]
+                bwd = [jnp.roll(x, jl, axis=1) for x in arrays]
+            partner = [jnp.where(a_mask, f, b) for f, b in zip(fwd, bwd)]
+
+            self_keys = tuple(arrays[:num_keys])
+            part_keys = tuple(partner[:num_keys])
+            p_lt = _lex_lt(part_keys, self_keys)
+            p_gt = _lex_lt(self_keys, part_keys)
+            take_partner = jnp.where(keep_min, p_lt, p_gt)
+            arrays = [
+                jnp.where(take_partner, p, x) for x, p in zip(arrays, partner)
+            ]
+            j //= 2
+        k *= 2
+    return tuple(arrays)
+
+
+def _sort_1d_kernel(*refs, num_arrays: int, num_keys: int, n: int):
+    in_refs = refs[:num_arrays]
+    out_refs = refs[num_arrays:]
+    vals = [r[...] for r in in_refs]
+    out = bitonic_network_1d(vals, num_keys, n)
+    for r, v in zip(out_refs, out):
+        r[...] = v
+
+
+def bitonic_sort_1d(
+    arrays: Sequence[jax.Array], num_keys: int, impl: str = "auto"
+) -> Tuple[jax.Array, ...]:
+    """Sort flat (n,) arrays ascending-lexicographically by the first
+    ``num_keys``; remaining arrays carried. Unstable network — include a
+    unique tie-break key (e.g. an index) for deterministic total order.
+
+    Pads n to a power of two (>= 1024 so the 2-D layout is full): +inf in a
+    floating first key, int32 max in an integer first key, zeros elsewhere;
+    padding sorts to the end and is sliced off.
+    """
+    n = arrays[0].shape[0]
+    n_pad = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 10)
+    padded = []
+    for i, x in enumerate(arrays):
+        if i < num_keys:
+            # max-fill EVERY key column: pads must sort after all real rows
+            # even when real rows share a +inf / intmax first key
+            fill = (
+                jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+                else jnp.iinfo(x.dtype).max
+            )
+        else:
+            fill = 0
+        padded.append(
+            jnp.pad(x, (0, n_pad - n), constant_values=fill)
+        )
+    # lane-major 2-D layout: linear i -> (row i % R, lane i // R)
+    r = n_pad // 128
+    arrs2 = [x.reshape(128, r).T for x in padded]
+
+    if impl == "auto":
+        from .knn_pallas import pallas_supported
+
+        impl = "pallas" if (pallas_supported() and not _INTERPRET) else "xla"
+    if impl == "pallas":
+        kern = functools.partial(
+            _sort_1d_kernel,
+            num_arrays=len(arrs2), num_keys=num_keys, n=n_pad,
+        )
+        out = pl.pallas_call(
+            kern,
+            out_shape=[
+                jax.ShapeDtypeStruct((r, 128), x.dtype) for x in arrs2
+            ],
+            interpret=_INTERPRET,
+        )(*arrs2)
+    else:
+        out = bitonic_network_1d(arrs2, num_keys, n_pad)
+    return tuple(x.T.reshape(n_pad)[:n] for x in out)
+
+
 def _sort_kernel(*refs, num_arrays: int, num_keys: int):
     in_refs = refs[:num_arrays]
     out_refs = refs[num_arrays:]

@@ -113,3 +113,46 @@ def test_extraction_bitonic_sector_sort_exact_equality():
                 np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
                 err_msg=f"{name} precise={precise}",
             )
+
+
+def test_sort_1d_matches_stable_sort():
+    from loam_tpu.ops.bitonic import bitonic_sort_1d
+
+    rng = np.random.default_rng(5)
+    for n in (100, 1024, 5000):
+        keys = jnp.asarray(rng.integers(0, 50, (n,)).astype(np.int32))
+        idx = jnp.arange(n, dtype=jnp.int32)
+        pay = jnp.asarray(rng.standard_normal((n,)).astype(np.float32))
+        got = bitonic_sort_1d((keys, idx, pay), num_keys=2, impl="xla")
+        want = lax.sort((keys, idx, pay), dimension=0, num_keys=2, is_stable=True)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_sort_1d_float_keys_with_inf():
+    from loam_tpu.ops.bitonic import bitonic_sort_1d
+
+    rng = np.random.default_rng(6)
+    n = 3000
+    keys = rng.standard_normal(n).astype(np.float32)
+    keys[::7] = np.inf  # invalid slots sort last (pads are +inf too)
+    idx = np.arange(n, dtype=np.int32)
+    got = bitonic_sort_1d((jnp.asarray(keys), jnp.asarray(idx)), num_keys=2, impl="xla")
+    want = lax.sort((jnp.asarray(keys), jnp.asarray(idx)), dimension=0,
+                    num_keys=2, is_stable=True)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_sort_1d_pallas_interpret_small(monkeypatch):
+    import loam_tpu.ops.bitonic as bt
+
+    monkeypatch.setattr(bt, "_INTERPRET", True)
+    rng = np.random.default_rng(7)
+    n = 1024  # minimum padded size; keeps interpret runtime sane
+    keys = jnp.asarray(rng.integers(0, 9, (n,)).astype(np.int32))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    got = bt.bitonic_sort_1d((keys, idx), num_keys=2, impl="pallas")
+    want = lax.sort((keys, idx), dimension=0, num_keys=2, is_stable=True)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
