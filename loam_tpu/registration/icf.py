@@ -52,9 +52,37 @@ def _angle_from_identity(q: jax.Array) -> jax.Array:
     return 2.0 * jnp.arctan2(jnp.linalg.norm(q[..., 1:], axis=-1), jnp.abs(q[..., 0]))
 
 
+def _stable_sort_1d(operands, num_keys: int):
+    """Stable multi-operand 1-D sort: ``lax.sort(is_stable=True)`` or the
+    VMEM bitonic kernel (``ops/bitonic.py``) with an internal slot-index
+    tie-break key — the same total order, so outputs are identical.
+
+    ``LOAM_FEATURE_SORT`` picks lax|bitonic|auto at trace time (auto =
+    bitonic kernel on a real TPU backend). A/B scripts must
+    ``jax.clear_caches()`` between arms — the env var is not a jit key.
+    """
+    mode = os.environ.get("LOAM_FEATURE_SORT", "auto")
+    if mode == "auto":
+        from ..ops.knn_pallas import pallas_supported, _INTERPRET
+
+        mode = (
+            "bitonic" if (pallas_supported() and not _INTERPRET) else "lax"
+        )
+    if mode == "bitonic":
+        from ..ops.bitonic import bitonic_sort_1d
+
+        iota = jnp.arange(operands[0].shape[0], dtype=jnp.int32)
+        out = bitonic_sort_1d(
+            tuple(operands[:num_keys]) + (iota,) + tuple(operands[num_keys:]),
+            num_keys=num_keys + 1,
+        )
+        return out[:num_keys] + out[num_keys + 1:]
+    return lax.sort(tuple(operands), num_keys=num_keys, is_stable=True)
+
+
 def _sort_features_multikey(fs: FeatureSet, e_key: jax.Array, p_key: jax.Array) -> FeatureSet:
     """Reorder both feature classes by per-slot sort keys with ONE
-    multi-operand stable ``lax.sort`` per class.
+    multi-operand stable sort per class (``_stable_sort_1d``).
 
     Coordinates, mask, and indices ride along as sort operands — the
     argsort + per-leaf gather form costs 4 TPU gathers per class (~7 ms/run
@@ -63,11 +91,10 @@ def _sort_features_multikey(fs: FeatureSet, e_key: jax.Array, p_key: jax.Array) 
     """
 
     def s(points, mask, idxs, key):
-        _, x, y, z, m, ix = lax.sort(
+        _, x, y, z, m, ix = _stable_sort_1d(
             (key, points[:, 0], points[:, 1], points[:, 2],
              mask.astype(jnp.int32), idxs),
             num_keys=1,
-            is_stable=True,
         )
         return jnp.stack([x, y, z], axis=-1), m.astype(bool), ix
 
@@ -162,11 +189,10 @@ def _azimuth_sort_with_perms(fs: FeatureSet):
         az = jnp.arctan2(points[:, 1], points[:, 0])
         key = jnp.where(mask, az, jnp.asarray(1e9, az.dtype))
         iota = jnp.arange(points.shape[0], dtype=jnp.int32)
-        _, x, y, z, m, ix, perm = lax.sort(
+        _, x, y, z, m, ix, perm = _stable_sort_1d(
             (key, points[:, 0], points[:, 1], points[:, 2],
              mask.astype(jnp.int32), idxs, iota),
             num_keys=1,
-            is_stable=True,
         )
         return jnp.stack([x, y, z], axis=-1), m.astype(bool), ix, perm
 

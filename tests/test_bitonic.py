@@ -156,3 +156,32 @@ def test_sort_1d_pallas_interpret_small(monkeypatch):
     want = lax.sort((keys, idx), dimension=0, num_keys=2, is_stable=True)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_feature_sort_bitonic_mode_matches_lax(monkeypatch):
+    """LOAM_FEATURE_SORT=bitonic reorders feature sets identically."""
+    from loam_tpu import LidarParams, extract_features
+    from loam_tpu.registration import icf
+
+    lidar = LidarParams(8, 128, 0.5, 80.0)
+    scan = jnp.asarray(
+        __import__("loam_tpu.io", fromlist=["render_scan"]).render_scan(
+            lidar, noise=0.01, seed=5, dtype=np.float32
+        )
+    )
+    fs = extract_features(scan, lidar)
+
+    def run(mode):
+        monkeypatch.setenv("LOAM_FEATURE_SORT", mode)
+        jax.clear_caches()  # env is read at trace time, not a jit key
+        az = icf.azimuth_sort_features(fs)
+        sp = icf.spatial_sort_features(fs)
+        azp = icf._azimuth_sort_with_perms(fs)
+        return az, sp, azp
+
+    a = run("lax")
+    b = run("bitonic")
+    for ga, gb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+    monkeypatch.delenv("LOAM_FEATURE_SORT", raising=False)
+    jax.clear_caches()
