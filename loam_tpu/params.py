@@ -104,6 +104,13 @@ class FeatureExtractionParams:
             raise ValueError("neighbor_points must be >= 1")
         if self.number_sectors < 1:
             raise ValueError("number_sectors must be >= 1")
+        for field, allowed in (
+            ("sector_sort", ("auto", "xla", "bitonic")),
+            ("feature_assemble", ("auto", "gather", "pallas")),
+            ("greedy_nms", ("auto", "xla", "pallas")),
+        ):
+            if getattr(self, field) not in allowed:
+                raise ValueError(f"{field} must be one of {allowed}")
 
     # ---- derived static shapes -------------------------------------------------
     def points_per_sector(self, lidar: LidarParams) -> int:
@@ -203,6 +210,14 @@ class RegistrationParams:
     search_backend: str = "bruteforce"
     #: Per-voxel candidate cap for the "grid" backend.
     grid_max_per_cell: int = 64
+
+    def __post_init__(self):
+        for field, allowed in (
+            ("lm_impl", ("auto", "xla", "pallas")),
+            ("search_backend", ("bruteforce", "grid")),
+        ):
+            if getattr(self, field) not in allowed:
+                raise ValueError(f"{field} must be one of {allowed}")
 
 
 @dataclasses.dataclass(frozen=True)
