@@ -105,9 +105,13 @@ def voxel_map_insert(
     int_max = jnp.iinfo(jnp.int32).max
 
     if impl == "auto":
+        import os
+
         from ..ops.knn_pallas import pallas_supported, _INTERPRET
 
-        impl = "bitonic" if (pallas_supported() and not _INTERPRET) else "scatter"
+        impl = os.environ.get("LOAM_MAP_INSERT") or (
+            "bitonic" if (pallas_supported() and not _INTERPRET) else "scatter"
+        )
 
     if impl == "bitonic":
         # Two VMEM-resident bitonic kernels replace the (C+N)-row lax.sort
