@@ -232,10 +232,16 @@ def bitonic_sort(
     if n_pad != n:
         padded = []
         for i, x in enumerate(arrays):
-            fill = jnp.asarray(
-                jnp.inf if (i == 0 and jnp.issubdtype(x.dtype, jnp.floating)) else 0,
-                x.dtype,
-            )
+            if i < num_keys:
+                # max-fill EVERY key column so pads sort after all real
+                # rows even when real rows carry a +inf first key
+                fill = jnp.asarray(
+                    jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+                    else jnp.iinfo(x.dtype).max,
+                    x.dtype,
+                )
+            else:
+                fill = jnp.asarray(0, x.dtype)
             pad = jnp.full((n_pad - n, b), fill, x.dtype)
             padded.append(jnp.concatenate([x, pad], axis=0))
         arrays = padded

@@ -185,3 +185,21 @@ def test_feature_sort_bitonic_mode_matches_lax(monkeypatch):
         np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
     monkeypatch.delenv("LOAM_FEATURE_SORT", raising=False)
     jax.clear_caches()
+
+
+def test_sector_sort_raw_equality_including_dead_slots():
+    """_sector_sort's bitonic path equals lax.sort row-for-row, including
+    +inf-keyed (invalid) slots vs internal power-of-two padding."""
+    from loam_tpu.features.extract import _sector_sort
+
+    rng = np.random.default_rng(8)
+    L, S, m = 4, 3, 46  # pads 46 -> 64 internally
+    c = rng.uniform(0, 10, (L, S, m)).astype(np.float32)
+    c[:, :, 40:] = np.inf  # invalid slots carry +inf keys like production
+    cl = rng.uniform(-1, 1, (L, S, m)).astype(np.float32)
+    cl[:, :, 40:] = 0.0
+    pos = np.broadcast_to(np.arange(m, dtype=np.int32), (L, S, m)).copy()
+    a = _sector_sort(jnp.asarray(c), jnp.asarray(cl), jnp.asarray(pos), "xla")
+    b = _sector_sort(jnp.asarray(c), jnp.asarray(cl), jnp.asarray(pos), "bitonic")
+    for ga, gb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(gb), np.asarray(ga))
