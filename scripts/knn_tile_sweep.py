@@ -95,9 +95,9 @@ def main():
         extract_features(scans[1], lidar, FeatureExtractionParams())
     )
     combos = [
-        (512, 256), (512, 512),
-        (1024, 256), (1024, 512),
-        (2048, 256), (2048, 512),
+        (512, 64), (512, 128), (512, 256), (512, 512),
+        (1024, 64), (1024, 128), (1024, 256), (1024, 512),
+        (2048, 128), (2048, 256), (2048, 512),
     ]
     sweep(
         "scan planar vs scan planar",
