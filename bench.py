@@ -34,14 +34,35 @@ def _feat_params(safe: bool):
 
     precise = os.environ.get("LOAM_BENCH_PRECISE", "1") != "0"
     if safe:
-        # conservative pre-kernel extraction paths, in case the Pallas
-        # sector-sort / assemble kernels fail on this device/runtime
+        # conservative pre-kernel extraction paths, in case any Pallas
+        # kernel fails on this device/runtime
         return FeatureExtractionParams(
             precise_selection=precise,
             sector_sort="xla",
             feature_assemble="gather",
+            greedy_nms="xla",
         )
     return FeatureExtractionParams(precise_selection=precise)
+
+
+def _reg_params(safe: bool, base=None):
+    import dataclasses
+
+    from loam_tpu.params import RegistrationParams
+
+    base = base if base is not None else RegistrationParams()
+    return dataclasses.replace(base, lm_impl="xla") if safe else base
+
+
+def _apply_safe_mode():
+    """Retire the env-switched new kernels too (feature-reorder sorts, map
+    insert) — they read env at trace time, so clear jit caches to force the
+    safe retrace. The long-proven kNN kernel stays on."""
+    import jax
+
+    os.environ["LOAM_FEATURE_SORT"] = "lax"
+    os.environ["LOAM_MAP_INSERT"] = "scatter"
+    jax.clear_caches()
 
 
 def _run_bench(
@@ -57,7 +78,7 @@ def _run_bench(
 
     lidar = LidarParams(64, 1024, 0.5, 120.0)
     feat_params = _feat_params(safe)
-    reg_params = RegistrationParams(search_backend=backend)
+    reg_params = _reg_params(safe, RegistrationParams(search_backend=backend))
 
     scans, _ = render_trajectory(
         lidar,
@@ -109,7 +130,7 @@ def _run_bench_batched_pairs(frames: int, reps: int, safe: bool = False) -> floa
     )
     scans = jnp.asarray(scans)
     feat_params = _feat_params(safe)
-    reg_params = RegistrationParams()
+    reg_params = _reg_params(safe)
 
     @jax.jit
     def run(s):
@@ -151,8 +172,11 @@ def _run_bench_scan_to_map(frames: int, reps: int, safe: bool = False) -> float:
     scans = jnp.asarray(scans)
 
     def run():
+        from loam_tpu.odometry.scan_to_map import default_map_reg_params
+
         state, traj, details = scan_to_map_offline(
-            scans, lidar, feat_params=_feat_params(safe)
+            scans, lidar, feat_params=_feat_params(safe),
+            reg_params=_reg_params(safe, default_map_reg_params()),
         )
         jax.block_until_ready(traj)
         return traj
@@ -175,6 +199,8 @@ def main():
 
     scans_per_sec = None
     safe = os.environ.get("LOAM_BENCH_SAFE", "0") == "1"
+    if safe:
+        _apply_safe_mode()
     while True:
         try:
             if mode == "scan_to_map":
@@ -188,11 +214,12 @@ def main():
             break
         except Exception as e:  # transient remote-compile/device aborts
             if not safe:
-                # first rung: retire the Pallas extraction kernels in case
-                # the failure is a deterministic kernel-compile error
+                # first rung: retire every new Pallas kernel in case the
+                # failure is a deterministic kernel-compile error
                 safe = True
+                _apply_safe_mode()
                 print(f"# bench failed ({type(e).__name__}); retrying with "
-                      f"safe extraction params", file=sys.stderr)
+                      f"safe params", file=sys.stderr)
                 continue
             if frames <= 6:
                 raise

@@ -121,7 +121,9 @@ def _greedy_pass(
 
 def _nms_impl(mode: str) -> str:
     """Resolve the greedy-NMS impl knob: auto = Pallas kernel on a real TPU
-    backend (mask resident in VMEM), per-line XLA scans elsewhere."""
+    backend (mask resident in VMEM), per-line XLA scans elsewhere. (The NMS
+    kernel is dtype-independent — candidates/masks are int32/bool — so no
+    f32 gate is needed, unlike the sort/assemble/LM kernels.)"""
     if mode == "auto":
         from ..ops.knn_pallas import pallas_supported, _INTERPRET
 
@@ -143,13 +145,24 @@ def _sector_sort(c_all, cl_all, pos_b, mode: str):
         across each slice and padding rows are fully identical).
 
     mode: xla|bitonic|auto (from ``FeatureExtractionParams.sector_sort``);
-    auto = bitonic on a real TPU backend, xla elsewhere (the unrolled
-    network is slow to compile/run off-TPU).
+    auto = bitonic on a real TPU backend with f32 keys (the Pallas kernel
+    is f32-only), xla elsewhere (the unrolled network is slow to
+    compile/run off-TPU).
+
+    NaN keys are out of contract on the bitonic path (NaN compares false
+    against everything, freezing those rows mid-network, where lax.sort
+    total-orders NaNs last). Curvature is finite for finite scans; scans
+    with NaN points are outside both implementations' (and the
+    reference's) contract — see ``loam_tpu.debug.check_finite``.
     """
     if mode == "auto":
         from ..ops.knn_pallas import pallas_supported
 
-        mode = "bitonic" if pallas_supported() else "xla"
+        mode = (
+            "bitonic"
+            if (pallas_supported() and c_all.dtype == jnp.float32)
+            else "xla"
+        )
     L, S, m = c_all.shape
     if mode == "bitonic":
         from ..ops.bitonic import bitonic_sort
@@ -240,9 +253,10 @@ def _extract_core(
     curv = curv.reshape(L, P)
     valid = valid.reshape(L, P)
 
-    pos_all, slotv_all, s_max = _sector_layout(lidar, params)
-
-    inf = jnp.asarray(jnp.inf, curv.dtype)
+    # slot validity is derived from the +inf sort key downstream; the
+    # layout's flags are unused here
+    pos_all, _, s_max = _sector_layout(lidar, params)
+    pps = P // S
 
     # Sort ALL (line, sector) slices in ONE batched sort, hoisted out of the
     # sector scan (the sort does not depend on the evolving NMS mask).
@@ -254,13 +268,12 @@ def _extract_core(
     # (curvature, index) tie order.
     # Sector slicing is pure static slices + pads (sectors are contiguous
     # ranges; only the last absorbs the remainder) — no (L, P) gather.
-    pps0 = P // S
 
     def to_sectors(x2d, fill):
         parts = []
         for s in range(S):
-            size = s_max if s == S - 1 else pps0
-            sl = lax.slice_in_dim(x2d, s * pps0, s * pps0 + size, axis=1)
+            size = s_max if s == S - 1 else pps
+            sl = lax.slice_in_dim(x2d, s * pps, s * pps + size, axis=1)
             if size < s_max:
                 sl = jnp.pad(
                     sl, ((0, 0), (0, s_max - size)), constant_values=fill
@@ -271,7 +284,13 @@ def _extract_core(
     c_all = to_sectors(curv, jnp.inf)  # padding slots carry +inf keys
     pos_b = jnp.broadcast_to(pos_all[None], c_all.shape)
     if curv_lo is not None:
-        cl_all = to_sectors(curv_lo.reshape(L, P), 0.0)
+        cl = curv_lo.reshape(L, P)
+        # canonicalize -0.0 lo parts: hi + (-0.0) and hi + (+0.0) are the
+        # SAME f64 value, but lax.sort's total order puts -0.0 first while
+        # the bitonic comparator (correctly, matching the f64 oracle's tie
+        # semantics) treats them equal and falls to the position tie-break
+        cl = jnp.where(cl == 0, jnp.asarray(0.0, cl.dtype), cl)
+        cl_all = to_sectors(cl, 0.0)
     else:
         cl_all = None
     sc_all, sc_lo_all, spos_all = _sector_sort(
@@ -279,7 +298,7 @@ def _extract_core(
     )
     # slot validity needs no sort operand: padding slots (and only they)
     # carry the +inf key — real curvature is finite (bounded sums of squares)
-    ssv_all = sc_all < inf
+    ssv_all = sc_all < jnp.inf
 
     if curv_lo is not None:
         from ..ops import twofloat as tf
@@ -324,7 +343,6 @@ def _extract_core(
     # On TPU the whole serial stage runs as ONE Pallas kernel with the
     # evolving mask resident in VMEM (ops/nms_pallas.py) — identical
     # output; the XLA fallback scans per line below.
-    pps = P // S
     if _nms_impl(params.greedy_nms) == "pallas":
         from ..ops.nms_pallas import greedy_nms
 

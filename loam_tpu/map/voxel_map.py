@@ -110,7 +110,14 @@ def voxel_map_insert(
         from ..ops.knn_pallas import pallas_supported, _INTERPRET
 
         impl = os.environ.get("LOAM_MAP_INSERT") or (
-            "bitonic" if (pallas_supported() and not _INTERPRET) else "scatter"
+            "bitonic"
+            if (
+                pallas_supported()
+                and not _INTERPRET
+                # the sort kernels are f32-only; f64 maps stay on lax+scatter
+                and map_.points.dtype == jnp.float32
+            )
+            else "scatter"
         )
 
     if impl == "bitonic":

@@ -62,7 +62,15 @@ def select_points(pts: jax.Array, picks: jax.Array, impl: str = "auto"):
     if impl == "auto":
         from .knn_pallas import pallas_supported
 
-        impl = "pallas" if (pallas_supported() and not _INTERPRET) else "gather"
+        impl = (
+            "pallas"
+            if (
+                pallas_supported()
+                and not _INTERPRET
+                and pts.dtype == jnp.float32  # kernel is f32-only
+            )
+            else "gather"
+        )
     if impl == "gather":
         sel = jnp.take_along_axis(
             pts, jnp.maximum(picks, 0)[..., None], axis=1

@@ -46,6 +46,15 @@ from jax.experimental.pallas import tpu as pltpu
 _INTERPRET = os.environ.get("LOAM_PALLAS_INTERPRET", "0") == "1"
 
 
+def _f32_safe(arrays) -> bool:
+    """The Pallas kernels handle f32/int32 operands only (no f64 on
+    Mosaic); wider dtypes fall back to the same network as plain XLA ops."""
+    return all(
+        not jnp.issubdtype(x.dtype, jnp.floating) or x.dtype == jnp.float32
+        for x in arrays
+    )
+
+
 def _lex_lt(a_keys, b_keys):
     """Strict lexicographic a < b over parallel key tuples (elementwise)."""
     lt = a_keys[-1] < b_keys[-1]
@@ -185,7 +194,11 @@ def bitonic_sort_1d(
     if impl == "auto":
         from .knn_pallas import pallas_supported
 
-        impl = "pallas" if (pallas_supported() and not _INTERPRET) else "xla"
+        impl = (
+            "pallas"
+            if (pallas_supported() and not _INTERPRET and _f32_safe(arrs2))
+            else "xla"
+        )
     if impl == "pallas":
         kern = functools.partial(
             _sort_1d_kernel,
@@ -248,7 +261,11 @@ def bitonic_sort(
     if impl == "auto":
         from .knn_pallas import pallas_supported
 
-        impl = "pallas" if (pallas_supported() and not _INTERPRET) else "xla"
+        impl = (
+            "pallas"
+            if (pallas_supported() and not _INTERPRET and _f32_safe(arrays))
+            else "xla"
+        )
     if impl == "pallas":
         kern = functools.partial(
             _sort_kernel, num_arrays=len(arrays), num_keys=num_keys

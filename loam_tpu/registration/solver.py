@@ -196,7 +196,17 @@ def lm_solve(
     if impl == "auto":
         from ..ops.knn_pallas import pallas_supported, _INTERPRET
 
-        impl = "pallas" if (pallas_supported() and not _INTERPRET) else "xla"
+        impl = (
+            "pallas"
+            if (
+                pallas_supported()
+                and not _INTERPRET
+                # the kernel is f32-only; an f64 problem (f64 feature sets)
+                # must stay on the XLA path to keep the result dtype too
+                and problem.pts_edge.dtype == jnp.float32
+            )
+            else "xla"
+        )
     if impl == "pallas":
         from ..ops.lm_pallas import lm_solve_pallas
 

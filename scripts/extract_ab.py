@@ -61,10 +61,6 @@ def main():
             greedy_nms="pallas")),
     ]
 
-    @jax.jit
-    def batch_extract(s, p):
-        return jax.vmap(lambda x: extract_features(x, lidar, p))(s)
-
     extract_jits = {
         name: jax.jit(lambda s, pp=p: jax.vmap(
             lambda x: extract_features(x, lidar, pp))(s))
@@ -85,7 +81,7 @@ def main():
                 np.testing.assert_array_equal(v, ref[f], err_msg=f"{name}:{f}")
     print("all combos exact-equal", flush=True)
 
-    for name, p in combos:
+    for name, _p in combos:
         fn = extract_jits[name]
         timed(
             f"extract batched [{name}]",
