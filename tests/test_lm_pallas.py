@@ -127,3 +127,32 @@ def test_invalid_rows_ignored():
     delta, cost = jax.jit(lambda p: lm_solve(p, params))(problem)
     assert np.isfinite(np.asarray(delta.translation)).all()
     assert np.isfinite(float(cost))
+
+
+def test_kernel_inside_full_icf_loop():
+    """lm_impl='pallas' through register_features (cond + while_loop
+    machinery): the round trip must recover the pose to the reference
+    tolerances, matching the xla impl's convergence quality."""
+    from loam_tpu import (
+        RegistrationParams as RP, feature_set_from_points, register_features,
+    )
+    from loam_tpu.geometry import quat_from_axis_angle, quat_rotate
+    from tests.test_registration import simple_scene, transform_features
+
+    edge, planar = simple_scene()
+    gt = Pose3(
+        quat_from_axis_angle(jnp.asarray([0.0, 0.0, 1.0]), 0.04),
+        jnp.asarray([0.05, -0.02, 0.01]),
+    )
+    # f32: the kernel's dtype (auto falls back to xla for f64)
+    target = feature_set_from_points(edge, planar, dtype=jnp.float32)
+    source = feature_set_from_points(
+        transform_features(edge, gt), transform_features(planar, gt),
+        dtype=jnp.float32,
+    )
+    est, detail = register_features(
+        source, target, None, RP(lm_impl="pallas")
+    )
+    err_t = np.asarray(quat_rotate(gt.rotation, est.translation) + gt.translation)
+    np.testing.assert_allclose(err_t, 0.0, atol=2e-3)
+    assert int(detail.termination) == 0  # CONVERGED
