@@ -34,16 +34,24 @@ from jax.experimental.pallas import tpu as pltpu
 _INTERPRET = os.environ.get("LOAM_PALLAS_INTERPRET", "0") == "1"
 
 
-def _select_kernel(x_ref, y_ref, z_ref, picks_ref, ox_ref, oy_ref, oz_ref):
-    pk = picks_ref[...]  # (1, C) int32, -1 = invalid
+def _select_kernel(x_ref, y_ref, z_ref, picks_ref, ox_ref, oy_ref, oz_ref,
+                   *, n_lines):
+    """Single launch; coords are (Ppad, Lpad) lane-per-line, picks/outs are
+    (Lpad8, Cpad) line-per-sublane. Lines unroll statically — every op is a
+    full-width vector op with explicit broadcasts (Mosaic has no implicit
+    sub-shape or i1 broadcast) and static slices only."""
     p = x_ref.shape[0]
-    c = pk.shape[1]
+    c = picks_ref.shape[1]
     iota = lax.broadcasted_iota(jnp.int32, (p, c), 0)
-    eq = iota == pk  # (P, C); negative picks match nothing
-    for src, dst in ((x_ref, ox_ref), (y_ref, oy_ref), (z_ref, oz_ref)):
-        col = src[...]  # (P, 1)
-        sel = jnp.where(eq, col, jnp.asarray(0.0, col.dtype))
-        dst[...] = jnp.sum(sel, axis=0, keepdims=True)
+    pk = picks_ref[...]
+    srcs = (x_ref[...], y_ref[...], z_ref[...])
+    for l in range(n_lines):
+        pk_l = jnp.broadcast_to(pk[l:l + 1, :], (p, c))
+        eq = iota == pk_l  # (P, C); negative picks match nothing
+        for src, dst in zip(srcs, (ox_ref, oy_ref, oz_ref)):
+            col = jnp.broadcast_to(src[:, l:l + 1], (p, c))
+            sel = jnp.where(eq, col, jnp.asarray(0.0, col.dtype))
+            dst[l:l + 1, :] = jnp.sum(sel, axis=0, keepdims=True)
 
 
 def select_points(pts: jax.Array, picks: jax.Array, impl: str = "auto"):
@@ -79,28 +87,32 @@ def select_points(pts: jax.Array, picks: jax.Array, impl: str = "auto"):
 
     cpad = max(-(-C // 128) * 128, 128)
     ppad = max(-(-P // 8) * 8, 8)
-    picks_p = jnp.pad(picks.astype(jnp.int32), ((0, 0), (0, cpad - C)),
+    lpad = max(-(-L // 128) * 128, 128)  # coords lane axis
+    lpad8 = max(-(-L // 8) * 8, 8)  # picks/out sublane axis
+    picks_p = jnp.pad(picks.astype(jnp.int32),
+                      ((0, lpad8 - L), (0, cpad - C)),
                       constant_values=-1)
     # (P, L) per-coordinate columns; padding rows can never match a pick
     # (picks are < P)
     coords = [
-        jnp.pad(pts[:, :, a].T, ((0, ppad - P), (0, 0))) for a in range(3)
+        jnp.pad(pts[:, :, a].T, ((0, ppad - P), (0, lpad - L)))
+        for a in range(3)
     ]
+    kern = functools.partial(_select_kernel, n_lines=L)
     outs = pl.pallas_call(
-        _select_kernel,
-        grid=(L,),
+        kern,
         in_specs=[
-            pl.BlockSpec((ppad, 1), lambda l: (0, l), memory_space=pltpu.VMEM)
-            for _ in range(3)
-        ]
-        + [pl.BlockSpec((1, cpad), lambda l: (l, 0), memory_space=pltpu.VMEM)],
+            pl.BlockSpec(x.shape, lambda: (0, 0), memory_space=pltpu.VMEM)
+            for x in (*coords, picks_p)
+        ],
         out_specs=[
-            pl.BlockSpec((1, cpad), lambda l: (l, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((lpad8, cpad), lambda: (0, 0),
+                         memory_space=pltpu.VMEM)
             for _ in range(3)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((L, cpad), pts.dtype) for _ in range(3)
+            jax.ShapeDtypeStruct((lpad8, cpad), pts.dtype) for _ in range(3)
         ],
         interpret=_INTERPRET,
     )(*coords, picks_p)
-    return jnp.stack([o[:, :C] for o in outs], axis=-1)
+    return jnp.stack([o[:L, :C] for o in outs], axis=-1)

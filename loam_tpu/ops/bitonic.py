@@ -70,12 +70,13 @@ def bitonic_network(arrays: Sequence[jax.Array], num_keys: int):
     kernel body. Returns the arrays sorted ascending-lexicographically by
     the first ``num_keys`` arrays along axis 0.
     """
-    n = arrays[0].shape[0]
+    n, lanes = arrays[0].shape
     assert n & (n - 1) == 0, "bitonic network needs power-of-two rows"
     arrays = list(arrays)
     # iota-built masks (not numpy constants): the Pallas kernel body shares
-    # this function and closed-over constants can't be captured by kernels
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    # this function and closed-over constants can't be captured by kernels.
+    # Full-width (n, lanes): Mosaic cannot broadcast (n, 1) i1 masks.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, lanes), 0)
     k = 2
     while k <= n:
         j = k // 2
@@ -85,7 +86,7 @@ def bitonic_network(arrays: Sequence[jax.Array], num_keys: int):
             # from the two rotations; static masks select per row.
             a_mask = (rows & j) == 0
             desc = (rows & k) != 0
-            keep_min = a_mask ^ desc  # (n, 1) broadcast over lanes
+            keep_min = a_mask ^ desc  # (n, lanes)
 
             fwd = [jnp.roll(x, -j, axis=0) for x in arrays]
             bwd = [jnp.roll(x, j, axis=0) for x in arrays]
@@ -95,7 +96,8 @@ def bitonic_network(arrays: Sequence[jax.Array], num_keys: int):
             part_keys = tuple(partner[:num_keys])
             p_lt = _lex_lt(part_keys, self_keys)
             p_gt = _lex_lt(self_keys, part_keys)
-            take_partner = jnp.where(keep_min, p_lt, p_gt)
+            # boolean algebra, not select_n: Mosaic rejects i1 selects
+            take_partner = (keep_min & p_lt) | (~keep_min & p_gt)
             arrays = [
                 jnp.where(take_partner, p, x) for x, p in zip(arrays, partner)
             ]
@@ -142,7 +144,8 @@ def bitonic_network_1d(arrays: Sequence[jax.Array], num_keys: int, n: int):
             part_keys = tuple(partner[:num_keys])
             p_lt = _lex_lt(part_keys, self_keys)
             p_gt = _lex_lt(self_keys, part_keys)
-            take_partner = jnp.where(keep_min, p_lt, p_gt)
+            # boolean algebra, not select_n: Mosaic rejects i1 selects
+            take_partner = (keep_min & p_lt) | (~keep_min & p_gt)
             arrays = [
                 jnp.where(take_partner, p, x) for x, p in zip(arrays, partner)
             ]

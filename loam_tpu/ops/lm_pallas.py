@@ -171,6 +171,15 @@ def _lm_kernel(
     hd = huber_delta
     pw = prior_weight
 
+    def bc(vals, r):
+        """(1,1) scalars -> (r, 128), lanes first then sublanes — Mosaic
+        has no single-op broadcast along both axes. The add is load-bearing:
+        it stops JAX re-fusing the two broadcasts into one."""
+        zrow = jnp.zeros((1, _LANES), jnp.float32)
+        return tuple(
+            jnp.broadcast_to(c + zrow, (r, _LANES)) for c in vals
+        )
+
     def sweep(delta):
         """(cost, H, g) at delta — delta = (quat 4-tuple, t 3-tuple)."""
         dq, dt = delta
@@ -202,8 +211,9 @@ def _lm_kernel(
             return rows
 
         # edges: point-to-line residual (reference geometry-inl.h:21-27)
-        qx, qy, qz = _quat_rotate(dq, pe)
-        qe = (qx + dt[0], qy + dt[1], qz + dt[2])
+        dq_e, dt_e = bc(dq, re), bc(dt, re)
+        qx, qy, qz = _quat_rotate(dq_e, pe)
+        qe = (qx + dt_e[0], qy + dt_e[1], qz + dt_e[2])
         ax_, ay_, az_ = ea
         bx_, by_, bz_ = eb
         ux, uy, uz = qe[0] - ax_, qe[1] - ay_, qe[2] - az_
@@ -224,8 +234,9 @@ def _lm_kernel(
         rows_e = accumulate(qe, ev, (r_e, ge))
 
         # planes: |n.q - d| (reference geometry-inl.h:30-33)
-        qx, qy, qz = _quat_rotate(dq, pp_)
-        qp = (qx + dt[0], qy + dt[1], qz + dt[2])
+        dq_p, dt_p = bc(dq, rp), bc(dt, rp)
+        qx, qy, qz = _quat_rotate(dq_p, pp_)
+        qp = (qx + dt_p[0], qy + dt_p[1], qz + dt_p[2])
         s = qp[0] * pn[0] + qp[1] * pn[1] + qp[2] * pn[2] - pd
         r_p = jnp.abs(s)
         sg = jnp.sign(s)

@@ -40,14 +40,18 @@ def _nms_kernel(
     valid_ref, cand_e_ref, cand_p_ref, pe_ref, pp_ref,
     *, n_sectors, s_max, max_e, max_p, n, pps, p_total,
 ):
-    lanes = valid_ref.shape[1]
-    mask = valid_ref[...] != 0  # (P, Lp)
+    rows, lanes = valid_ref.shape
+    mask = valid_ref[...]  # (P, Lp) int32 0/1 — i1 full-array carries and
+    # dynamic_update_slice both fail Mosaic lowering; the evolving mask
+    # lives as i32 and sector slices convert at the boundary.
     for s in range(n_sectors):
         size = s_max if s == n_sectors - 1 else pps
         lo = max(s * pps - (n - 1), 0)
         hi = min(s * pps + size + (n - 1), p_total)
         w = hi - lo
-        msl = lax.slice_in_dim(mask, lo, hi, axis=0)
+        # the window mask stays i32 across the fori_loop carry — Mosaic
+        # cannot legalize scf.for with vector<i1> loop carries
+        msl_i32 = lax.slice_in_dim(mask, lo, hi, axis=0)
         iota_w = lax.broadcasted_iota(jnp.int32, (w, lanes), 0) + jnp.int32(lo)
 
         for cand_ref, out_ref, max_f in (
@@ -61,21 +65,40 @@ def _nms_kernel(
 
             def step(t, carry, cand_ref=cand_ref, iota_w=iota_w,
                      iota_cap=iota_cap, max_f=max_f, s=s):
-                msl, cnt, picks = carry
+                msl_i, cnt, picks = carry
+                msl = msl_i != 0
                 idx = cand_ref[pl.ds(s * s_max + t, 1), :]  # (1, Lp)
-                eq = iota_w == idx
+                # all broadcasts made explicit in i32 — Mosaic rejects
+                # implicit i1 (and some sub-shape) vector broadcasts
+                idx_w = jnp.broadcast_to(idx, iota_w.shape)
+                eq = iota_w == idx_w
                 live = jnp.any(eq & msl, axis=0, keepdims=True)
-                ok = live & (idx >= 0) & (cnt <= max_f)
-                picks = jnp.where((iota_cap == cnt) & ok, idx, picks)
-                msl = msl & ~(ok & (jnp.abs(iota_w - idx) <= n - 1))
-                cnt = cnt + ok.astype(jnp.int32)
-                return msl, cnt, picks
+                ok = live & (idx >= 0) & (cnt <= max_f)  # (1, lanes)
+                ok_i = ok.astype(jnp.int32)
+                ok_cap = jnp.broadcast_to(ok_i, iota_cap.shape) != 0
+                ok_w = jnp.broadcast_to(ok_i, iota_w.shape) != 0
+                cnt_cap = jnp.broadcast_to(cnt, iota_cap.shape)
+                idx_cap = jnp.broadcast_to(idx, iota_cap.shape)
+                picks = jnp.where(
+                    (iota_cap == cnt_cap) & ok_cap, idx_cap, picks
+                )
+                msl = msl & ~(ok_w & (jnp.abs(iota_w - idx_w) <= n - 1))
+                cnt = cnt + ok_i
+                return msl.astype(jnp.int32), cnt, picks
 
-            msl, _, picks = lax.fori_loop(
-                0, s_max, step, (msl, cnt0, picks0)
+            msl_i32, _, picks = lax.fori_loop(
+                0, s_max, step, (msl_i32, cnt0, picks0)
             )
             out_ref[s * cap:(s + 1) * cap, :] = picks
-        mask = lax.dynamic_update_slice(mask, msl, (lo, 0))
+        # write the sector window back via static slices + concat
+        # (dynamic_update_slice has no Mosaic lowering; lo/hi are static)
+        parts = []
+        if lo > 0:
+            parts.append(lax.slice_in_dim(mask, 0, lo, axis=0))
+        parts.append(msl_i32)
+        if hi < rows:
+            parts.append(lax.slice_in_dim(mask, hi, rows, axis=0))
+        mask = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 def greedy_nms(
