@@ -120,14 +120,16 @@ def _greedy_pass(
 
 
 def _nms_impl(mode: str) -> str:
-    """Resolve the greedy-NMS impl knob: auto = Pallas kernel on a real TPU
-    backend (mask resident in VMEM), per-line XLA scans elsewhere. (The NMS
-    kernel is dtype-independent — candidates/masks are int32/bool — so no
-    f32 gate is needed, unlike the sort/assemble/LM kernels.)"""
-    if mode == "auto":
-        from ..ops.knn_pallas import pallas_supported, _INTERPRET
+    """Resolve the greedy-NMS impl knob: auto = the XLA windowed-scan path.
 
-        return "pallas" if (pallas_supported() and not _INTERPRET) else "xla"
+    The Pallas NMS kernel compiles on v5e but MISCOMPILES at full scan
+    scale (hardware A/B 2026-08: exact at 64x1024 on one seed, wrong pick
+    sets on others; interpret mode is exact — a Mosaic codegen issue in the
+    serial fori_loop, not a semantics bug in the kernel). It also lost the
+    e2e A/B where it did run. auto therefore never selects it; "pallas"
+    stays available for interpret-mode coverage and future-runtime sweeps."""
+    if mode == "auto":
+        return "xla"
     return mode
 
 

@@ -107,18 +107,11 @@ def voxel_map_insert(
     if impl == "auto":
         import os
 
-        from ..ops.knn_pallas import pallas_supported, _INTERPRET
-
-        impl = os.environ.get("LOAM_MAP_INSERT") or (
-            "bitonic"
-            if (
-                pallas_supported()
-                and not _INTERPRET
-                # the sort kernels are f32-only; f64 maps stay on lax+scatter
-                and map_.points.dtype == jnp.float32
-            )
-            else "scatter"
-        )
+        # the bitonic insert rides bitonic_sort_1d, which does not lower on
+        # the current v5e runtime (Mosaic rejects its lane rotations); auto
+        # stays on the scatter path until a runtime compiles it AND it wins
+        # an A/B. LOAM_MAP_INSERT=bitonic re-enables for sweeps.
+        impl = os.environ.get("LOAM_MAP_INSERT") or "scatter"
 
     if impl == "bitonic":
         # Two VMEM-resident bitonic kernels replace the (C+N)-row lax.sort

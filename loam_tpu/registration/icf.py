@@ -63,14 +63,10 @@ def _stable_sort_1d(operands, num_keys: int):
     """
     mode = os.environ.get("LOAM_FEATURE_SORT", "auto")
     if mode == "auto":
-        from ..ops.bitonic import _f32_safe
-        from ..ops.knn_pallas import pallas_supported, _INTERPRET
-
-        mode = (
-            "bitonic"
-            if (pallas_supported() and not _INTERPRET and _f32_safe(operands))
-            else "lax"
-        )
+        # the 1-D lane-major bitonic kernel does not lower on the current
+        # v5e runtime (Mosaic rejects its lane rotations); auto stays on
+        # lax.sort until a runtime that compiles it measures faster
+        mode = "lax"
     if mode == "bitonic":
         from ..ops.bitonic import bitonic_sort_1d
 

@@ -194,19 +194,12 @@ def lm_solve(
     """
     impl = params.lm_impl
     if impl == "auto":
-        from ..ops.knn_pallas import pallas_supported, _INTERPRET
-
-        impl = (
-            "pallas"
-            if (
-                pallas_supported()
-                and not _INTERPRET
-                # the kernel is f32-only; an f64 problem (f64 feature sets)
-                # must stay on the XLA path to keep the result dtype too
-                and problem.pts_edge.dtype == jnp.float32
-            )
-            else "xla"
-        )
+        # hardware A/B 2026-08: the single-launch LM kernel compiles on
+        # v5e (after two-step scalar broadcasts) but the XLA path — one
+        # residual sweep per step, unrolled Cholesky — measured faster
+        # e2e; auto stays on xla. lm_impl="pallas" remains for sweeps
+        # (f32 problems only — the kernel is f32-only).
+        impl = "xla"
     if impl == "pallas":
         from ..ops.lm_pallas import lm_solve_pallas
 
