@@ -120,16 +120,21 @@ def _greedy_pass(
 
 
 def _nms_impl(mode: str) -> str:
-    """Resolve the greedy-NMS impl knob: auto = the XLA windowed-scan path.
+    """Resolve the greedy-NMS impl knob: auto = the bit-packed Pallas kernel
+    on a real TPU backend, the XLA windowed scan elsewhere.
 
-    The Pallas NMS kernel compiles on v5e but MISCOMPILES at full scan
-    scale (hardware A/B 2026-08: exact at 64x1024 on one seed, wrong pick
-    sets on others; interpret mode is exact — a Mosaic codegen issue in the
-    serial fori_loop, not a semantics bug in the kernel). It also lost the
-    e2e A/B where it did run. auto therefore never selects it; "pallas"
-    stays available for interpret-mode coverage and future-runtime sweeps."""
+    History: the first NMS kernel (round 2) miscompiled at 64x1024
+    (seed-dependent wrong picks from sublane-unaligned window slices /
+    per-row dynamic loads) and lost its e2e A/B. The round-3 rewrite
+    (``ops/nms_pallas.py``) bit-packs the mask 32 points/word, reads
+    candidates in aligned groups of 8, and bounds the serial loops by the
+    actual candidate counts: hardware-validated exact on 20/20 seeds at
+    64x1024 and 3.6x faster than the XLA scan in batched extraction device
+    traces (17.5 -> 4.9 ms per 32 frames)."""
     if mode == "auto":
-        return "xla"
+        from ..ops.knn_pallas import pallas_supported
+
+        return "pallas" if pallas_supported() else "xla"
     return mode
 
 

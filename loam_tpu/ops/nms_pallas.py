@@ -1,25 +1,44 @@
-"""Pallas kernel for the serial greedy NMS feature pick.
+"""Pallas kernel for the serial greedy NMS feature pick (bit-packed masks).
 
 The greedy pick (reference ``extractSectorEdgeFeatures`` /
 ``extractSectorPlanarFeatures``, ``features-inl.h:137-180``) is inherently
 serial within a scan line: every accepted feature suppresses neighbors, and
-sectors are processed in order with cross-sector suppression (§2.3(4,5)).
-The XLA implementation (``features/extract.py::_greedy_pass``) runs it as
-per-line ``lax.scan``s whose (window, lines) carry round-trips through HBM
-on every one of the ~2 * sectors * sector_size steps per scan — the stage
-was 32% of device time before static windowing and remains memory-bound
-after it.
+sectors are processed in order with cross-sector suppression (SURVEY
+§2.3(4,5)). The XLA implementation (``features/extract.py::_greedy_pass``)
+runs ~2 * sectors * sector_size lockstep steps whose per-step vector ops
+touch a ~(P/S)-wide window of the line mask — at Ouster-64 scale that stage
+is the single largest extraction cost in device traces (~0.4 ms/scan even
+batched).
 
-This kernel runs the ENTIRE serial stage (all sectors, both classes, all
-lines) in one launch with the evolving validity mask resident in VMEM.
-Layout: points on SUBLANES, scan lines on LANES — every per-step op is a
-full-width vector op over all lines at once, and the one reduction
-(candidate liveness) runs along sublanes, the cheap axis. The step loop is
-a ``fori_loop`` over candidate slots; sector/class loops are static.
+This kernel attacks the per-step WORK, not just memory residency:
 
-Output is bit-identical to the XLA path: same visit order, same
-cap-overshoot (+1) semantics, same suppression window, same masked no-op
-visits for already-suppressed candidates.
+  * **Bit-packed masks.** The evolving validity mask lives as 32
+    points-per-int32 words: a full 1024-point line is 32 sublane rows — the
+    per-step liveness probe (one-hot word select + variable-shift bit
+    extract) and the suppression write (two variable-shift range masks)
+    touch ~4 vregs instead of a ~176-row window. This relies only on
+    elementwise int32 ops (variable shifts, and/or/not), all of which have
+    Mosaic lowerings (hardware-probed).
+  * **Dynamic candidate bounds.** Threshold-filtered candidates form a
+    PREFIX of each sorted sector slice (the threshold test is monotone in
+    the sort key: edges keep the reversed high tail, planars the low
+    prefix), so the serial loop runs ``max over lines`` of the per-sector
+    candidate count instead of the full sector size — on default thresholds
+    the edge passes collapse from ~174 to a handful of steps.
+  * **8-step groups.** Candidates are consumed in aligned groups of 8 rows
+    (one dynamic aligned read per group, statically sliced inside) so the
+    scalar loop overhead amortizes and no unaligned dynamic access exists
+    anywhere in the kernel — the previous kernel's seed-dependent
+    miscompile at 64x1024 traced to sublane-unaligned window slices and
+    per-row dynamic loads, both gone by construction.
+  * **Lane folding under vmap.** A ``custom_vmap`` rule folds any leading
+    batch axis into the lane axis (lines x frames), so batched extraction
+    widens the vector ops instead of appending a serial grid dimension.
+
+Output is bit-identical to the XLA path (pure integer semantics): same
+visit order, same cap-overshoot (+1, §2.3(3)), same suppression reach, same
+masked no-op visits for already-suppressed candidates
+(``features-inl.h:144``).
 """
 
 from __future__ import annotations
@@ -35,70 +54,181 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = os.environ.get("LOAM_PALLAS_INTERPRET", "0") == "1"
 
+# lanes per grid block: bounds VMEM (candidate blocks dominate at
+# ~2 * S * s_max8 * lanes * 4 B); 512 keeps the default Ouster-64 config
+# around ~5 MB while still feeding full-width vector ops
+_LANE_BLOCK = int(os.environ.get("LOAM_NMS_LANES", "512"))
+
+
+def _range_mask(a, b):
+    """Bits [a, b] of an int32 word as a mask, per element.
+
+    ``a``/``b`` are int32 arrays of bit positions relative to the word
+    (anything outside [0, 31] is clipped; empty ranges yield 0). Uses only
+    elementwise variable shifts — Mosaic-supported.
+    """
+    # bits 0..b  (b >= 31 -> all ones, b < 0 -> none)
+    leq_b = jnp.where(
+        b >= 31,
+        jnp.int32(-1),
+        jnp.where(b < 0, 0, (1 << jnp.clip(b + 1, 1, 31)) - 1),
+    )
+    # bits 0..a-1  (a >= 32 -> all ones, a <= 0 -> none)
+    lt_a = jnp.where(
+        a >= 32,
+        jnp.int32(-1),
+        jnp.where(a <= 0, 0, (1 << jnp.clip(a, 1, 31)) - 1),
+    )
+    return leq_b & ~lt_a
+
 
 def _nms_kernel(
-    valid_ref, cand_e_ref, cand_p_ref, pe_ref, pp_ref,
-    *, n_sectors, s_max, max_e, max_p, n, pps, p_total,
+    bits_ref, cand_e_ref, cand_p_ref, bnd_ref, pe_ref, pp_ref,
+    *, n_sectors, s_max8, cap_e8, cap_p8, max_e, max_p, n, p_total, w32,
 ):
-    rows, lanes = valid_ref.shape
-    mask = valid_ref[...]  # (P, Lp) int32 0/1 — i1 full-array carries and
-    # dynamic_update_slice both fail Mosaic lowering; the evolving mask
-    # lives as i32 and sector slices convert at the boundary.
+    lanes = bits_ref.shape[1]
+    bits = bits_ref[...]  # (w32, lanes) int32 bit-packed line masks
+    row = lax.broadcasted_iota(jnp.int32, (w32, lanes), 0)
+    row32 = row * 32
+
     for s in range(n_sectors):
-        size = s_max if s == n_sectors - 1 else pps
-        lo = max(s * pps - (n - 1), 0)
-        hi = min(s * pps + size + (n - 1), p_total)
-        w = hi - lo
-        # the window mask stays i32 across the fori_loop carry — Mosaic
-        # cannot legalize scf.for with vector<i1> loop carries
-        msl_i32 = lax.slice_in_dim(mask, lo, hi, axis=0)
-        iota_w = lax.broadcasted_iota(jnp.int32, (w, lanes), 0) + jnp.int32(lo)
-
-        for cand_ref, out_ref, max_f in (
-            (cand_e_ref, pe_ref, max_e),
-            (cand_p_ref, pp_ref, max_p),
-        ):
-            cap = max_f + 1
-            iota_cap = lax.broadcasted_iota(jnp.int32, (cap, lanes), 0)
-            picks0 = jnp.full((cap, lanes), -1, jnp.int32)
+        base = s * s_max8  # 8-aligned: s_max8 is a multiple of 8
+        for ci, (cand_ref, out_ref, max_f, cap8) in enumerate((
+            (cand_e_ref, pe_ref, max_e, cap_e8),
+            (cand_p_ref, pp_ref, max_p, cap_p8),
+        )):
+            cap_iota = lax.broadcasted_iota(jnp.int32, (cap8, lanes), 0)
+            picks0 = jnp.full((cap8, lanes), -1, jnp.int32)
             cnt0 = jnp.zeros((1, lanes), jnp.int32)
+            n_groups = (bnd_ref[s, ci] + 7) // 8
 
-            def step(t, carry, cand_ref=cand_ref, iota_w=iota_w,
-                     iota_cap=iota_cap, max_f=max_f, s=s):
-                msl_i, cnt, picks = carry
-                msl = msl_i != 0
-                idx = cand_ref[pl.ds(s * s_max + t, 1), :]  # (1, Lp)
-                # all broadcasts made explicit in i32 — Mosaic rejects
-                # implicit i1 (and some sub-shape) vector broadcasts
-                idx_w = jnp.broadcast_to(idx, iota_w.shape)
-                eq = iota_w == idx_w
-                live = jnp.any(eq & msl, axis=0, keepdims=True)
-                ok = live & (idx >= 0) & (cnt <= max_f)  # (1, lanes)
-                ok_i = ok.astype(jnp.int32)
-                ok_cap = jnp.broadcast_to(ok_i, iota_cap.shape) != 0
-                ok_w = jnp.broadcast_to(ok_i, iota_w.shape) != 0
-                cnt_cap = jnp.broadcast_to(cnt, iota_cap.shape)
-                idx_cap = jnp.broadcast_to(idx, iota_cap.shape)
-                picks = jnp.where(
-                    (iota_cap == cnt_cap) & ok_cap, idx_cap, picks
-                )
-                msl = msl & ~(ok_w & (jnp.abs(iota_w - idx_w) <= n - 1))
-                cnt = cnt + ok_i
-                return msl.astype(jnp.int32), cnt, picks
+            def group(g, carry, cand_ref=cand_ref, base=base, max_f=max_f,
+                      cap8=cap8, cap_iota=cap_iota):
+                bits, cnt, picks = carry
+                grp = cand_ref[pl.ds(base + 8 * g, 8), :]  # aligned read
+                for j in range(8):
+                    idx = lax.slice_in_dim(grp, j, j + 1, axis=0)  # (1, L)
+                    word = idx >> 5
+                    bit = idx & 31
+                    # liveness: one-hot word select + bit extract
+                    eqw = row == jnp.broadcast_to(word, (w32, lanes))
+                    livew = jnp.sum(
+                        jnp.where(eqw, bits, 0), axis=0, keepdims=True
+                    )
+                    live = (livew >> bit) & 1
+                    ok = (idx >= 0) & (cnt <= max_f) & (live != 0)
+                    oki = ok.astype(jnp.int32)
+                    # record pick at slot `cnt`
+                    hit = (
+                        cap_iota == jnp.broadcast_to(cnt, (cap8, lanes))
+                    ) & (jnp.broadcast_to(oki, (cap8, lanes)) != 0)
+                    picks = jnp.where(
+                        hit, jnp.broadcast_to(idx, (cap8, lanes)), picks
+                    )
+                    # suppress idx-(n-1) .. idx+(n-1), clipped to the line
+                    # (the XLA window clip only ever binds at line ends)
+                    lo = jnp.maximum(idx - (n - 1), 0)
+                    hi = jnp.minimum(idx + (n - 1), p_total - 1)
+                    clear = _range_mask(
+                        jnp.broadcast_to(lo, (w32, lanes)) - row32,
+                        jnp.broadcast_to(hi, (w32, lanes)) - row32,
+                    )
+                    clear = jnp.where(
+                        jnp.broadcast_to(oki, (w32, lanes)) != 0, clear, 0
+                    )
+                    bits = bits & ~clear
+                    cnt = cnt + oki
+                return bits, cnt, picks
 
-            msl_i32, _, picks = lax.fori_loop(
-                0, s_max, step, (msl_i32, cnt0, picks0)
+            bits, _, picks = lax.fori_loop(
+                0, n_groups, group, (bits, cnt0, picks0)
             )
-            out_ref[s * cap:(s + 1) * cap, :] = picks
-        # write the sector window back via static slices + concat
-        # (dynamic_update_slice has no Mosaic lowering; lo/hi are static)
-        parts = []
-        if lo > 0:
-            parts.append(lax.slice_in_dim(mask, 0, lo, axis=0))
-        parts.append(msl_i32)
-        if hi < rows:
-            parts.append(lax.slice_in_dim(mask, hi, rows, axis=0))
-        mask = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+            out_ref[s * cap8:(s + 1) * cap8, :] = picks
+
+
+def _pack_bits(valid2d: jax.Array, w32: int) -> jax.Array:
+    """(L, P) bool -> (L, w32) int32, bit j of word w = point 32w + j."""
+    L, P = valid2d.shape
+    vp = jnp.pad(valid2d, ((0, 0), (0, w32 * 32 - P)))
+    shifts = jnp.arange(32, dtype=jnp.int32)
+    return jnp.sum(
+        vp.reshape(L, w32, 32).astype(jnp.int32) << shifts, axis=-1,
+        dtype=jnp.int32,
+    )
+
+
+def _greedy_nms_flat(
+    valid, cand_e_all, cand_p_all, max_e, max_p, n, pps, s_max
+):
+    """Unbatched implementation over (L, P) / (L, S, s_max) inputs."""
+    L, P = valid.shape
+    S = cand_e_all.shape[1]
+    cap_e, cap_p = max_e + 1, max_p + 1
+    cap_e8 = -(-cap_e // 8) * 8
+    cap_p8 = -(-cap_p // 8) * 8
+    s_max8 = -(-s_max // 8) * 8
+    w32 = max(-(-P // 32), 1)
+    lb = min(_LANE_BLOCK, max(-(-L // 128) * 128, 128))
+    lp = -(-L // lb) * lb
+    n_blocks = lp // lb
+
+    bits = _pack_bits(valid, w32)
+    bits_t = jnp.pad(bits.T, ((0, 0), (0, lp - L)))  # (w32, lp)
+
+    def prep_cand(c):
+        cp = jnp.pad(
+            c.astype(jnp.int32),
+            ((0, 0), (0, 0), (0, s_max8 - s_max)),
+            constant_values=-1,
+        ).reshape(L, S * s_max8)
+        return jnp.pad(cp.T, ((0, 0), (0, lp - L)), constant_values=-1)
+
+    ce_t = prep_cand(cand_e_all)
+    cp_t = prep_cand(cand_p_all)
+
+    # per-sector serial bounds: candidates form a prefix of each slice (the
+    # threshold test is monotone in the sort key), so the loop only needs
+    # the max candidate count over lines
+    cnt_e = jnp.max(jnp.sum(cand_e_all >= 0, axis=-1, dtype=jnp.int32), axis=0)
+    cnt_p = jnp.max(jnp.sum(cand_p_all >= 0, axis=-1, dtype=jnp.int32), axis=0)
+    bnds = jnp.stack([cnt_e, cnt_p], axis=-1)  # (S, 2)
+
+    kern = functools.partial(
+        _nms_kernel,
+        n_sectors=S, s_max8=s_max8, cap_e8=cap_e8, cap_p8=cap_p8,
+        max_e=max_e, max_p=max_p, n=n, p_total=P, w32=w32,
+    )
+    pe, pp_ = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((w32, lb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (S * s_max8, lb), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (S * s_max8, lb), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((S, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (S * cap_e8, lb), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (S * cap_p8, lb), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S * cap_e8, lp), jnp.int32),
+            jax.ShapeDtypeStruct((S * cap_p8, lp), jnp.int32),
+        ],
+        interpret=_INTERPRET,
+    )(bits_t, ce_t, cp_t, bnds)
+
+    edge_picks = pe[:, :L].T.reshape(L, S, cap_e8)[:, :, :cap_e]
+    planar_picks = pp_[:, :L].T.reshape(L, S, cap_p8)[:, :, :cap_p]
+    return edge_picks, planar_picks
 
 
 def greedy_nms(
@@ -116,53 +246,43 @@ def greedy_nms(
     Args:
       valid: (L, P) bool validity mask.
       cand_e_all / cand_p_all: (L, S, s_max) int32 within-line candidate
-        indices in processing order (-1 = not a candidate).
+        indices in processing order (-1 = not a candidate; real candidates
+        form a prefix of each slice).
       max_e / max_p: per-sector caps (cap+1 slots admitted, §2.3(3)).
       n: neighbor_points (suppression halfwidth).
       pps / s_max: sector span / largest-sector size.
     Returns:
       (edge_picks (L, S, max_e+1), planar_picks (L, S, max_p+1)) int32,
       -1-padded — identical to the per-line XLA scan path.
+
+    Under ``vmap`` (batched extraction) the custom batching rule folds the
+    batch axis into the lane axis — one launch, wider vector ops, instead
+    of a serial per-frame grid.
     """
-    L, P = valid.shape
-    S = cand_e_all.shape[1]
-    lp = max(-(-L // 128) * 128, 128)
-    pp_rows = max(-(-P // 8) * 8, 8)
-
-    def prep(x, rows, fill):
-        xt = x.reshape(L, -1).T  # (rows_true, L)
-        return jnp.pad(
-            xt.astype(jnp.int32),
-            ((0, rows - xt.shape[0]), (0, lp - L)),
-            constant_values=fill,
+    fn = jax.custom_batching.custom_vmap(
+        functools.partial(
+            _greedy_nms_flat,
+            max_e=max_e, max_p=max_p, n=n, pps=pps, s_max=s_max,
         )
-
-    valid_t = prep(valid, pp_rows, 0)
-    ce_t = prep(cand_e_all, S * s_max, -1)
-    cp_t = prep(cand_p_all, S * s_max, -1)
-    cap_e, cap_p = max_e + 1, max_p + 1
-
-    kern = functools.partial(
-        _nms_kernel,
-        n_sectors=S, s_max=s_max, max_e=max_e, max_p=max_p,
-        n=n, pps=pps, p_total=P,
     )
-    pe, pp_ = pl.pallas_call(
-        kern,
-        in_specs=[
-            pl.BlockSpec(x.shape, lambda: (0, 0), memory_space=pltpu.VMEM)
-            for x in (valid_t, ce_t, cp_t)
-        ],
-        out_specs=[
-            pl.BlockSpec((S * cap_e, lp), lambda: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S * cap_p, lp), lambda: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((S * cap_e, lp), jnp.int32),
-            jax.ShapeDtypeStruct((S * cap_p, lp), jnp.int32),
-        ],
-        interpret=_INTERPRET,
-    )(valid_t, ce_t, cp_t)
-    edge_picks = pe[:, :L].T.reshape(L, S, cap_e)
-    planar_picks = pp_[:, :L].T.reshape(L, S, cap_p)
-    return edge_picks, planar_picks
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, valid_b, ce_b, cp_b):
+        vb, eb, pb = in_batched
+
+        def fold(x, batched):
+            if not batched:
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            return x.reshape((-1,) + x.shape[2:])
+
+        v2 = fold(valid_b, vb)
+        ce2 = fold(ce_b, eb)
+        cp2 = fold(cp_b, pb)
+        ep, pp_ = _greedy_nms_flat(
+            v2, ce2, cp2, max_e=max_e, max_p=max_p, n=n, pps=pps,
+            s_max=s_max,
+        )
+        unfold = lambda x: x.reshape((axis_size, -1) + x.shape[1:])
+        return (unfold(ep), unfold(pp_)), (True, True)
+
+    return fn(valid, cand_e_all, cand_p_all)

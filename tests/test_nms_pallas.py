@@ -51,6 +51,40 @@ def test_greedy_nms_kernel_exact_equality():
     _compare(lidar, params, seed=0)
 
 
+def test_greedy_nms_kernel_batched_lane_folding():
+    # vmapped extraction must hit the custom_vmap rule (batch folded into
+    # kernel lanes) and still match the per-frame XLA path exactly
+    import jax
+
+    lidar = LidarParams(4, 64, 0.5, 80.0)
+    params = FeatureExtractionParams(
+        number_sectors=2,
+        max_edge_feats_per_sector=2,
+        max_planar_feats_per_sector=5,
+        neighbor_points=2,
+        edge_feat_threshold=0.5,
+        planar_feat_threshold=5.0,
+    )
+    scans = jnp.stack([
+        jnp.asarray(render_scan(lidar, noise=0.02, seed=s, dtype=np.float32))
+        for s in range(3)
+    ])
+    run = lambda mode: jax.vmap(
+        lambda x: extract_features(
+            x, lidar, dataclasses.replace(params, greedy_nms=mode)
+        )
+    )(scans)
+    a, b = run("xla"), run("pallas")
+    for name in (
+        "edge_points", "edge_mask", "edge_indices",
+        "planar_points", "planar_mask", "planar_indices",
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            err_msg=name,
+        )
+
+
 def test_greedy_nms_kernel_remainder_sector():
     # points_per_line % sectors != 0: the last sector absorbs the remainder
     lidar = LidarParams(3, 50, 0.5, 80.0)
