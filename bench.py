@@ -54,6 +54,30 @@ def _reg_params(safe: bool, base=None):
     return dataclasses.replace(base, lm_impl="xla") if safe else base
 
 
+def _check_accuracy(traj, poses, frames):
+    """Benchmark numbers only count if the trajectory is RIGHT.
+
+    Round-2 lesson: a TPU-runtime miscompile of the vmapped extraction
+    produced garbage features that still yielded finite (wrong) poses — and
+    faster-looking benchmarks. Gate every timed configuration on ATE against
+    the renderer's ground truth, not just isfinite."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from loam_tpu.evaluation import ate_rmse
+
+    assert bool(jnp.isfinite(traj.translation).all()), "non-finite trajectory"
+    gt = np.stack([t for (_, t) in poses])
+    est = np.asarray(traj.translation)
+    ate = ate_rmse(est, gt, align=False)
+    path = float(np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=-1)))
+    limit = max(0.05 * path, 0.05)
+    assert ate < limit, (
+        f"trajectory ATE {ate:.3f} m exceeds {limit:.3f} m "
+        f"({frames} frames, {path:.2f} m path) — wrong results, not a benchmark"
+    )
+
+
 def _apply_safe_mode():
     """Retire the env-switched new kernels too (feature-reorder sorts, map
     insert) — they read env at trace time, so clear jit caches to force the
@@ -80,7 +104,7 @@ def _run_bench(
     feat_params = _feat_params(safe)
     reg_params = _reg_params(safe, RegistrationParams(search_backend=backend))
 
-    scans, _ = render_trajectory(
+    scans, poses = render_trajectory(
         lidar,
         frames,
         step=np.array([0.08, 0.02, 0.0]),
@@ -100,7 +124,7 @@ def _run_bench(
         return traj
 
     traj = run()  # compile + warmup
-    assert bool(jnp.isfinite(traj.translation).all()), "non-finite trajectory"
+    _check_accuracy(traj, poses, frames)
 
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -124,7 +148,7 @@ def _run_bench_batched_pairs(frames: int, reps: int, safe: bool = False) -> floa
     from loam_tpu.io import render_trajectory
 
     lidar = LidarParams(64, 1024, 0.5, 120.0)
-    scans, _ = render_trajectory(
+    scans, poses = render_trajectory(
         lidar, frames, step=np.array([0.08, 0.02, 0.0]), yaw_rate=0.01,
         noise=0.005, seed=0, dtype=np.float32,
     )
@@ -142,7 +166,16 @@ def _run_bench_batched_pairs(frames: int, reps: int, safe: bool = False) -> floa
         return pose
 
     pose = run(scans)
-    assert bool(jnp.isfinite(pose.translation).all()), "non-finite poses"
+    from loam_tpu.geometry import pose_cumcompose
+
+    rel_world = pose_cumcompose(pose)
+    traj = Pose3(
+        jnp.concatenate([Pose3.identity(jnp.float32, (1,)).rotation,
+                         rel_world.rotation]),
+        jnp.concatenate([Pose3.identity(jnp.float32, (1,)).translation,
+                         rel_world.translation]),
+    )
+    _check_accuracy(traj, poses, frames)
     t0 = time.perf_counter()
     for i in range(reps):
         jax.block_until_ready(run(scans + jnp.float32(1e-6) * (i + 1)))
@@ -160,7 +193,7 @@ def _run_bench_scan_to_map(frames: int, reps: int, safe: bool = False) -> float:
     from loam_tpu.io import render_trajectory
 
     lidar = LidarParams(64, 1024, 0.5, 120.0)
-    scans, _ = render_trajectory(
+    scans, poses = render_trajectory(
         lidar,
         frames,
         step=np.array([0.08, 0.02, 0.0]),
@@ -182,7 +215,7 @@ def _run_bench_scan_to_map(frames: int, reps: int, safe: bool = False) -> float:
         return traj
 
     traj = run()
-    assert bool(jnp.isfinite(traj.translation).all()), "non-finite trajectory"
+    _check_accuracy(traj, poses, frames)
     t0 = time.perf_counter()
     for _ in range(reps):
         run()
