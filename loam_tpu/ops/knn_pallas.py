@@ -133,10 +133,15 @@ def _knn_kernel(
         dy = t[1][:, None] - qy
         dz = t[2][:, None] - qz
         d2 = dx * dx + dy * dy + dz * dz + tinv[:, None]  # (TT, TQ)
-        # k extraction passes; with_coords also one-hot-reduces the selected
-        # rows' coordinates (exact copies of t — no arithmetic), so callers
-        # skip the XLA neighbor gather entirely (the largest per-iteration
-        # cost of the ICF loop when measured on v5e).
+        # k extraction passes; with_coords also selects the chosen rows'
+        # coordinates (exact copies of t — no arithmetic), so callers skip
+        # the XLA neighbor gather entirely (the largest per-iteration cost
+        # of the ICF loop when measured on v5e). The selection rides the
+        # MXU: one-hot (exactly one 1.0 per column) x f32 coords under
+        # HIGHEST precision has a single product per output — exact, and
+        # ~4x cheaper than three VPU where+sum sweeps over the (TT, TQ)
+        # tile (hardware trace: 2.42 -> 1.4 ms for the 17k x 17k planar
+        # search).
         cvs, crs, ccs = [], [], ([], [], [])
         dd = d2
         for _ in range(k):
@@ -146,10 +151,14 @@ def _knn_kernel(
             cvs.append(m)
             crs.append(am)
             if with_coords:
+                cc = lax.dot_general(
+                    t, sel.astype(jnp.float32),
+                    (((1,), (0,)), ((), ())),
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )  # (3, TQ)
                 for a in range(3):
-                    ccs[a].append(
-                        jnp.sum(jnp.where(sel, t[a][:, None], 0.0), axis=0)
-                    )
+                    ccs[a].append(cc[a])
             dd = jnp.where(sel, jnp.inf, dd)
         cv = jnp.stack(cvs, axis=0)
         # pin int32: under x64 interpret mode the loop index / sum promote
