@@ -86,8 +86,9 @@ def voxel_map_insert(
         frame); ``new_mask`` their validity.
       center: if given with ``keep_radius > 0``, points farther than
         ``keep_radius`` from ``center`` (sensor position) are evicted.
-      impl: "auto" (bitonic path on a real TPU backend, lax.sort + scatter
-        elsewhere), "scatter", or "bitonic". Identical map contents.
+      impl: "auto" (= "sort2": two lax.sorts, scatter-free), "scatter"
+        (one sort + two compaction scatters), "sort2", or "bitonic" (VMEM
+        kernel; no Mosaic lowering on current v5e). Identical map contents.
 
     Returns: (new_map, dropped) — ``dropped`` counts occupied voxels that
       did not fit in capacity (voxels with the largest keys are dropped;
@@ -108,10 +109,13 @@ def voxel_map_insert(
         import os
 
         # the bitonic insert rides bitonic_sort_1d, which does not lower on
-        # the current v5e runtime (Mosaic rejects its lane rotations); auto
-        # stays on the scatter path until a runtime compiles it AND it wins
-        # an A/B. LOAM_MAP_INSERT=bitonic re-enables for sweeps.
-        impl = os.environ.get("LOAM_MAP_INSERT") or "scatter"
+        # the current v5e runtime (Mosaic rejects its lane rotations).
+        # "sort2" is the same scatter-free structure on lax.sort: device
+        # traces put the compaction scatters at ~1 ms EACH per 150k-row
+        # insert while a 150k-row multi-operand sort is ~0.33 ms, so
+        # replacing two scatters with one more sort wins ~2 ms per insert.
+        # LOAM_MAP_INSERT overrides for sweeps.
+        impl = os.environ.get("LOAM_MAP_INSERT") or "sort2"
 
     if impl == "bitonic":
         # Two VMEM-resident bitonic kernels replace the (C+N)-row lax.sort
@@ -133,6 +137,37 @@ def voxel_map_insert(
         dropped = jnp.maximum(total - C, 0)
         key2 = jnp.where(first & (dest < C), dest, int_max)
         _, ox, oy, oz = bitonic_sort_1d(
+            (key2, sx, sy, sz), num_keys=1
+        )
+        count = jnp.minimum(total, C)
+        out_mask = jnp.arange(C, dtype=jnp.int32) < count
+        out_pts = jnp.where(
+            out_mask[:, None],
+            jnp.stack([ox[:C], oy[:C], oz[:C]], axis=-1),
+            0,
+        )
+        return (
+            VoxelMap(out_pts, out_mask, map_.voxel_size, map_.origin),
+            dropped,
+        )
+
+    if impl == "sort2":
+        # Scatter-free: sort by (key, slot) — stability makes existing map
+        # points (first in the concat) win their voxel — then compact
+        # survivors to the front with a second sort on their destination
+        # slot (int_max for losers/overflow). Identical contents to the
+        # scatter path; on TPU two sorts beat one sort + two scatters.
+        skeys, _, sx, sy, sz = jax.lax.sort(
+            (keys, idx, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=2
+        )
+        first = jnp.concatenate(
+            [jnp.asarray([True]), skeys[1:] != skeys[:-1]]
+        ) & (skeys != int_max)
+        dest = (jnp.cumsum(first, dtype=jnp.int32) - 1).astype(jnp.int32)
+        total = jnp.sum(first, dtype=jnp.int32)
+        dropped = jnp.maximum(total - C, 0)
+        key2 = jnp.where(first & (dest < C), dest, int_max)
+        _, ox, oy, oz = jax.lax.sort(
             (key2, sx, sy, sz), num_keys=1
         )
         count = jnp.minimum(total, C)
