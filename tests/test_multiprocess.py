@@ -24,13 +24,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_multiprocess_pose_graph_parity():
-    nproc = 2
+def _run_cluster(mode: str, nproc: int = 2, devices_per_proc: int = 2):
     port = _free_port()
     repo_root = os.path.dirname(_HERE)
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={devices_per_proc}"
     ).strip()
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
@@ -38,7 +38,7 @@ def test_multiprocess_pose_graph_parity():
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(_HERE, "multiproc_worker.py"),
-             str(pid), str(nproc), str(port)],
+             str(pid), str(nproc), str(port), mode],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
@@ -59,3 +59,15 @@ def test_multiprocess_pose_graph_parity():
     for pid, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"[proc {pid}] OK" in out, out
+
+
+def test_multiprocess_pose_graph_parity():
+    _run_cluster("pose_graph")
+
+
+def test_multiprocess_scan_to_map_parity():
+    """The FULL mapping pipeline (extraction -> collective-kNN registration
+    -> owner-partitioned map insert) across a real 2-process jax.distributed
+    cluster — the DCN code path single-process virtual meshes never touch —
+    must track the process-local single-device driver frame by frame."""
+    _run_cluster("scan_to_map", devices_per_proc=1)
