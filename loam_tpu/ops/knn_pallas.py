@@ -32,18 +32,19 @@ _TT = os.environ.get("LOAM_KNN_TT")
 
 
 def _auto_tiles(m: int) -> tuple:
-    """Measured v5e optimum (scripts/knn_tile_sweep.py, active-list kernel).
+    """Measured v5e optimum (round-3 trace sweeps on CORRECT features —
+    earlier sweeps ran on the miscompiled batched-extraction workload).
 
-    Target chunks of 256 win at every scale now that culling is decided
-    entirely at the jit level (finer chunks = sharper culling, and the
-    per-chunk loop overhead the old in-kernel cond added is gone). Query
-    tiles: bigger tiles amortize the chunk loop until the tile's bounding
-    box grows enough to activate extra chunks — the crossover sits near map
-    scale (19.5k x 131k: tq=512 beats 1024 by 14%; 19.5k x 19.5k: tq=1024
-    beats 512 by 6%).
+    Scan-scale (17k x 17k planar search): (1024, 256) wins — 2.07 ms vs
+    2.15-2.24 for smaller tiles; per-visit overhead eats the element
+    savings of finer culling. Map-scale (sparse-valid padded map targets):
+    (512, 128) wins by ~24% (1.27 vs 1.68 ms) — finer chunks cull the
+    mostly-empty buffer much harder. Chunk length below 128 cannot lower
+    (dynamic lane-dim slices need 128-multiple offsets).
     """
-    tq = 512 if m >= 32768 else 1024
-    return tq, 256
+    if m >= 32768:
+        return 512, 128
+    return 1024, 256
 
 # Interpret mode runs the kernel as plain XLA on any backend — slow, but it
 # lets the CPU test suite cover the kernel body + the jit-level prep
