@@ -68,21 +68,40 @@ def pallas_supported() -> bool:
         return False
 
 
-def _pack_active_lists(active: jax.Array):
+def _pack_active_lists(active: jax.Array, sep2: jax.Array = None):
     """Left-pack active chunk indices: (T, C) bool -> ((T, C) int32 lists,
-    (T, 1) counts), ascending chunk order.
+    (T, 1) counts).
 
     A stable argsort of the inactive flags gives the same result, but
     ``lax.sort`` is a fixed-cost unfused op on TPU (~1 ms standalone); the
-    cumsum + one-hot reduce here is pure elementwise+reduction work that XLA
-    fuses. ``dest[t, j]`` = output slot of chunk j (cumsum is monotone, so
-    lists stay ascending — preserving global first-index tie-breaking);
-    inverting via ``lst[t, i] = sum_j [dest[t, j] == i] * j`` never
+    rank-counting + one-hot reduce here is pure elementwise+reduction work
+    that XLA fuses; ``lst[t, i] = sum_j [dest[t, j] == i] * j`` never
     materializes the (T, C, C) one-hot.
+
+    With ``sep2`` (the (T, C) bbox separation used for culling) lists come
+    NEAREST-FIRST (ties by chunk index): the kernel's running top-k then
+    tightens as fast as possible, so its per-visit lower-bound gate
+    (see ``_knn_kernel``) skips the bulk of the remaining visits. Without
+    it, ascending chunk order. Result order does not affect output values:
+    the kernel's merge breaks distance ties by global index, which is
+    visit-order invariant.
     """
     n_chunks = active.shape[1]
-    dest = jnp.cumsum(active, axis=1, dtype=jnp.int32) - 1
-    dest = jnp.where(active, dest, -1)  # (T, C)
+    if sep2 is None:
+        dest = jnp.cumsum(active, axis=1, dtype=jnp.int32) - 1
+        dest = jnp.where(active, dest, -1)  # (T, C)
+    else:
+        # rank among active chunks by (sep2, index) lexicographic order
+        key = jnp.where(active, sep2, jnp.inf)
+        jj2 = jnp.arange(n_chunks, dtype=jnp.int32)
+        earlier = (key[:, None, :] < key[:, :, None]) | (
+            (key[:, None, :] == key[:, :, None])
+            & (jj2[None, None, :] < jj2[None, :, None])
+        )  # (T, C_j, C_other): other strictly before j
+        rank = jnp.sum(
+            earlier & active[:, None, :], axis=2, dtype=jnp.int32
+        )
+        dest = jnp.where(active, rank, -1)
     jj = jnp.arange(n_chunks, dtype=jnp.int32)
     eq = dest[:, None, :] == jj[None, :, None]  # (T, C_out, C_j)
     lst = jnp.sum(
@@ -106,9 +125,40 @@ def _extract_k_rows(d2, row, k):
 
 
 def _knn_kernel(
-    q_ref, t_ref, tinv_ref, cnt_ref, lst_ref, idx_ref, d2_ref, *coord_refs,
+    q_ref, t_ref, tinv_ref, rot_ref, rbox_ref, cnt_ref, lst_ref,
+    idx_ref, d2_ref, *rest_refs,
     k: int, tt: int, use_list: bool, with_coords: bool = False,
+    init_v: float = float("inf"),
 ):
+    """Top-k body with ADAPTIVE culling (see knn_run for the jit-level half).
+
+    Running top-k state lives in VMEM scratch so each visit can be gated
+    with ``pl.when``: before touching a chunk's (TT, TQ) tile, a per-query
+    LOWER BOUND on the distance to anything in the chunk (point-to-bbox,
+    computed from 6 SMEM scalars) is compared against each query's current
+    k-th best — when no query can improve, the whole distance + extraction
+    + merge body is skipped at ~tq ops. Visits arrive nearest-chunk-first
+    (``_pack_active_lists`` with sep2), so the running k-th bests tighten
+    in the first few visits and the gate then prunes the long tail that
+    bbox-vs-bbox prefiltering keeps (measured: ~70-90% of visits at scan
+    scale — full-range azimuth wedges overlap near the sensor, so ~27% of
+    all chunks pass the jit-level prefilter but almost none survive the
+    running-best test).
+
+    Exactness: the bound never exceeds a true distance, and skipping
+    requires lb >= kth for EVERY query, so no skipped chunk could alter any
+    top-k list (a tie lb == kth is kept: an equal-distance lower-index
+    candidate must still win). Distance ties break by GLOBAL index in the
+    merge (lexicographic (value, index) min), which makes results
+    visit-order invariant — identical to XLA ``topk_min``'s ascending
+    (distance, first-index) semantics.
+    """
+    n_coord = 3 if with_coords else 0
+    coord_refs = rest_refs[:n_coord]
+    sv = rest_refs[n_coord]  # (k, TQ) f32 scratch: running best distances
+    si = rest_refs[n_coord + 1]  # (k, TQ) i32 scratch: global indices
+    sc = rest_refs[n_coord + 2 : n_coord + 2 + n_coord]
+
     q = q_ref[...]  # (3, TQ)
     tq = q.shape[1]
     m_total = t_ref.shape[1]
@@ -116,17 +166,25 @@ def _knn_kernel(
     # primitive into the branch jaxpr, which interpret mode can't evaluate
     tile = pl.program_id(0)
     row = lax.broadcasted_iota(jnp.int32, (tt, tq), 0)
-    row2k = lax.broadcasted_iota(jnp.int32, (2 * k, tq), 0)
     qx = q[0][None, :]
     qy = q[1][None, :]
     qz = q[2][None, :]
 
-    def chunk_work(c, state):
-        if with_coords:
-            best_v, best_i, best_c = state
-        else:
-            best_v, best_i = state
-            best_c = None
+    # Slots start at the RADIUS BOUND r^2 (init_v) rather than +inf when a
+    # radius filter applies: any candidate at d^2 >= r^2 is discarded by the
+    # jit-level ``sqrt(d2) < max_dist`` filter anyway, so keeping the k-th
+    # best <= r^2 from the first visit changes no valid output — but it
+    # closes the gate permanently on queries with fewer than k in-radius
+    # neighbors (whose k-th best otherwise stays +inf and attracts every
+    # remaining visit).
+    sv[...] = jnp.full((k, tq), init_v, jnp.float32)
+    si[...] = jnp.zeros((k, tq), jnp.int32)
+    for a in range(n_coord):
+        sc[a][...] = jnp.zeros((k, tq), jnp.float32)
+
+    imax = jnp.int32(2147483647)
+
+    def chunk_work(c):
         off = c * tt
         t = t_ref[:, pl.ds(off, tt)]  # (3, TT)
         tinv = tinv_ref[0, pl.ds(off, tt)]  # (TT,) +inf at invalid slots
@@ -164,60 +222,69 @@ def _knn_kernel(
         cv = jnp.stack(cvs, axis=0)
         # pin int32: under x64 interpret mode the loop index / sum promote
         ci = (jnp.stack(crs, axis=0) + off).astype(jnp.int32)
-        # merge running + chunk candidates (running first: lower indices win
-        # distance ties, preserving global first-index tie-breaking)
-        mv = jnp.concatenate([best_v, cv], axis=0)  # (2k, TQ)
-        mi = jnp.concatenate([best_i, ci], axis=0)
+        # merge running + chunk candidates on lexicographic (value, index):
+        # global first-index tie-breaking independent of visit order
+        mv = jnp.concatenate([sv[...], cv], axis=0)  # (2k, TQ)
+        mi = jnp.concatenate([si[...], ci], axis=0)
         if with_coords:
             mc = [
-                jnp.concatenate([best_c[a], jnp.stack(ccs[a], axis=0)], axis=0)
+                jnp.concatenate([sc[a][...], jnp.stack(ccs[a], axis=0)], axis=0)
                 for a in range(3)
             ]
         nv, ni = [], []
         nc = ([], [], [])
         for _ in range(k):
             m = jnp.min(mv, axis=0)
-            am = jnp.argmin(mv, axis=0).astype(jnp.int32)
-            sel = row2k == am[None, :]
+            isval = mv == m[None, :]
+            wi = jnp.min(jnp.where(isval, mi, imax), axis=0)
+            sel = isval & (mi == wi[None, :])
             nv.append(m)
-            ni.append(jnp.sum(jnp.where(sel, mi, 0), axis=0, dtype=jnp.int32))
+            ni.append(wi)
             if with_coords:
                 for a in range(3):
                     nc[a].append(jnp.sum(jnp.where(sel, mc[a], 0.0), axis=0))
             mv = jnp.where(sel, jnp.inf, mv)
-        nv = jnp.stack(nv, axis=0)
-        ni = jnp.stack(ni, axis=0)
-        if with_coords:
-            return nv, ni, tuple(jnp.stack(nc[a], axis=0) for a in range(3))
-        return nv, ni
+        sv[...] = jnp.stack(nv, axis=0)
+        si[...] = jnp.stack(ni, axis=0)
+        for a in range(n_coord):
+            sc[a][...] = jnp.stack(nc[a], axis=0)
 
-    best_v = jnp.full((k, tq), jnp.inf, jnp.float32)
-    best_i = jnp.zeros((k, tq), jnp.int32)
-    state0 = (best_v, best_i)
-    if with_coords:
-        state0 = state0 + (
-            tuple(jnp.zeros((k, tq), jnp.float32) for _ in range(3)),
-        )
+    def visit(j, carry):
+        c = lst_ref[tile, j] if use_list else j
+        # Point-to-box lower bound per query, in the CHUNK's OWN rotated
+        # frame (u along the chunk's center azimuth, v across, z up): an
+        # azimuth-sorted chunk is a thin full-range wedge whose axis-aligned
+        # bbox is mostly empty space on diagonal azimuths — rotating makes
+        # it a tight slab, so the bound approaches the true distance.
+        # Rotation is an isometry, so the bound stays exact. 8 SMEM scalar
+        # loads; an all-invalid chunk has an inverted +/-big box whose gap
+        # squares overflow to +inf and the gate skips it; +3e37 sentinel
+        # queries (masked slots) overflow the same way.
+        cx = rot_ref[0, c]
+        cy = rot_ref[1, c]
+        uq = cx * qx + cy * qy
+        vq = cx * qy - cy * qx
+        gu = jnp.maximum(jnp.maximum(rbox_ref[0, c] - uq, uq - rbox_ref[1, c]), 0.0)
+        gv = jnp.maximum(jnp.maximum(rbox_ref[2, c] - vq, vq - rbox_ref[3, c]), 0.0)
+        gz = jnp.maximum(jnp.maximum(rbox_ref[4, c] - qz, qz - rbox_ref[5, c]), 0.0)
+        lb = gu * gu + gv * gv + gz * gz  # (1, TQ)
+        kth = sv[pl.ds(k - 1, 1), :]  # (1, TQ)
+        improving = (lb < kth).astype(jnp.int32)
+
+        @pl.when(jnp.max(improving) > 0)
+        def _():
+            chunk_work(c)
+
+        return carry
+
     if use_list:
-        # Iterate EXACTLY this tile's active chunks, from the per-tile list
-        # precomputed at the jit level (chunks whose bounding box lies
-        # entirely beyond the radius filter are absent — their candidates
-        # would be masked out anyway, strict < max_dist). Lists are
-        # ascending, preserving global first-index tie-breaking. Compared
-        # with the earlier contiguous [start, end) range + in-kernel bbox
-        # cond, lists need no spatial-ordering alignment between query
-        # tiles and target chunks and spend zero in-kernel work on culling.
-        def chunk(j, state):
-            return chunk_work(lst_ref[tile, j], state)
-
-        out = lax.fori_loop(0, cnt_ref[tile, 0], chunk, state0)
+        lax.fori_loop(0, cnt_ref[tile, 0], visit, jnp.int32(0))
     else:
-        out = lax.fori_loop(0, m_total // tt, chunk_work, state0)
-    idx_ref[...] = out[1]
-    d2_ref[...] = out[0]
-    if with_coords:
-        for a in range(3):
-            coord_refs[a][...] = out[2][a]
+        lax.fori_loop(0, m_total // tt, visit, jnp.int32(0))
+    idx_ref[...] = si[...]
+    d2_ref[...] = sv[...]
+    for a in range(n_coord):
+        coord_refs[a][...] = sc[a][...]
 
 
 class TargetPrep(NamedTuple):
@@ -233,17 +300,90 @@ class TargetPrep(NamedTuple):
 
     tT: jax.Array  # (3, mpad) padded transposed targets
     tinv: jax.Array  # (1, mpad) additive +inf invalidation
-    blo: jax.Array  # (3, n_chunks) per-chunk bbox lows
-    bhi: jax.Array  # (3, n_chunks)
+    rot: jax.Array  # (2, n_chunks) unit chunk-frame direction (cx, cy)
+    rbox: jax.Array  # (6, n_chunks) chunk box in its frame: u/v/z lo,hi
     m: int  # true target count
     tt: int  # chunk length
+
+
+def _chunk_frames(tch: jax.Array, vch: jax.Array):
+    """Per-chunk ROTATED bounding boxes: (2, C) unit direction + (6, C) box.
+
+    ``tch``: (3, C, tt) chunked targets, ``vch``: (1, C, tt) validity. Each
+    chunk gets its own xy frame aligned with its mean direction (u along,
+    v across, z unchanged) — an azimuth-sorted chunk is a thin full-range
+    wedge, so the rotated box is a tight slab where the axis-aligned box of
+    a diagonal wedge is mostly empty space. Rotation is an isometry: any
+    unit direction yields correct (conservative-exact) bounds; all-invalid
+    chunks get an inverted +/-big box that gates every visit off.
+    """
+    dtype = tch.dtype
+    big = jnp.asarray(3e37, dtype)
+    tx, ty, tz = tch[0], tch[1], tch[2]  # (C, tt)
+    v = vch[0]
+    sx = jnp.sum(jnp.where(v, tx, 0.0), axis=1)
+    sy = jnp.sum(jnp.where(v, ty, 0.0), axis=1)
+    nrm = jnp.sqrt(sx * sx + sy * sy)
+    ok = nrm > 0
+    cx = jnp.where(ok, sx / jnp.where(ok, nrm, 1.0), 1.0)  # (C,)
+    cy = jnp.where(ok, sy / jnp.where(ok, nrm, 1.0), 0.0)
+    u = cx[:, None] * tx + cy[:, None] * ty  # (C, tt)
+    w = cx[:, None] * ty - cy[:, None] * tx
+
+    def lohi(a):
+        return (
+            jnp.min(jnp.where(v, a, big), axis=1),
+            jnp.max(jnp.where(v, a, -big), axis=1),
+        )
+
+    ulo, uhi = lohi(u)
+    vlo, vhi = lohi(w)
+    zlo, zhi = lohi(tz)
+    rot = jnp.stack([cx, cy], axis=0)
+    rbox = jnp.stack([ulo, uhi, vlo, vhi, zlo, zhi], axis=0)
+    return rot, rbox
+
+
+def _tile_gaps(qlo, qhi, rot, rbox):
+    """Squared tile-box/chunk-box separation in each chunk's frame.
+
+    ``qlo``/``qhi``: (3, T) tile bounds; returns (T, C) sep^2 plus a (T,)
+    tile-nonempty flag (an empty tile's inverted bounds would otherwise
+    produce a giant interval in the rotated frame and activate everything).
+    """
+    cx, cy = rot[0], rot[1]  # (C,)
+    # u/v extremes of the tile's xy-rectangle = extremes over its 4 corners;
+    # for a linear map those split per-axis: u = cx*x + cy*y
+    def interval(ax, ay):
+        lo = (
+            jnp.minimum(ax[:, None] * qlo[0][None, :], ax[:, None] * qhi[0][None, :])
+            + jnp.minimum(ay[:, None] * qlo[1][None, :], ay[:, None] * qhi[1][None, :])
+        )  # (C, T)
+        hi = (
+            jnp.maximum(ax[:, None] * qlo[0][None, :], ax[:, None] * qhi[0][None, :])
+            + jnp.maximum(ay[:, None] * qlo[1][None, :], ay[:, None] * qhi[1][None, :])
+        )
+        return lo, hi
+
+    tulo, tuhi = interval(cx, cy)
+    tvlo, tvhi = interval(-cy, cx)
+
+    def gap(alo, ahi, blo, bhi):
+        return jnp.maximum(jnp.maximum(blo - ahi, alo - bhi), 0.0)
+
+    gu = gap(tulo, tuhi, rbox[0][:, None], rbox[1][:, None])  # (C, T)
+    gv = gap(tvlo, tvhi, rbox[2][:, None], rbox[3][:, None])
+    gz = gap(qlo[2][None, :], qhi[2][None, :], rbox[4][:, None], rbox[5][:, None])
+    sep2 = (gu * gu + gv * gv + gz * gz).T  # (T, C)
+    nonempty = qhi[0] >= qlo[0]  # (T,)
+    return sep2, nonempty
 
 
 def knn_prep(
     targets: jax.Array, target_mask: jax.Array, tt: int = None
 ) -> TargetPrep:
     """Build the target-side state for :func:`knn_run` (pad + transpose +
-    per-chunk bounding boxes; static-shape pads, no update-slices)."""
+    per-chunk rotated bounding boxes; static-shape pads, no update-slices)."""
     dtype = jnp.float32
     M = targets.shape[0]
     tt = tt or int(_TT or _auto_tiles(M)[1])
@@ -256,13 +396,11 @@ def knn_prep(
         constant_values=jnp.inf,
     )
     n_chunks = mpad // tt
-    big = jnp.asarray(3e37, dtype)
     tvalid = jnp.isfinite(tinv[0])
     tch = tT.reshape(3, n_chunks, tt)
     vch = tvalid.reshape(n_chunks, tt)[None]
-    blo = jnp.min(jnp.where(vch, tch, big), axis=2)  # (3, n_chunks)
-    bhi = jnp.max(jnp.where(vch, tch, -big), axis=2)
-    return TargetPrep(tT, tinv, blo, bhi, M, tt)
+    rot, rbox = _chunk_frames(tch, vch)
+    return TargetPrep(tT, tinv, rot, rbox, M, tt)
 
 
 class PackedKnn(NamedTuple):
@@ -288,11 +426,20 @@ def knn_run(
     max_dist: float = 0.0,
     tq: int = None,
     with_coords: bool = False,
+    query_mask: jax.Array = None,
 ):
     """Query-side half of :func:`knn_pallas` against prebuilt targets.
 
     ``with_coords=True`` returns a :class:`PackedKnn` (kernel-layout result
     with neighbor coordinates) instead of a ``KnnResult``.
+
+    ``query_mask``: optional (Q,) validity of query slots. Invalid slots are
+    moved to a far sentinel (+3e37) before tiling, so their per-query lower
+    bound overflows to +inf and the kernel's gate skips every visit on their
+    behalf (a tile of only invalid slots does zero chunk work); the tile
+    bounding boxes ignore them, so mixed tiles stay tight. Their returned
+    neighbor lists are empty — callers that pass a mask must not read
+    results for masked slots (the ICF association masks them regardless).
     """
     from ..neighbors.bruteforce import KnnResult
 
@@ -302,35 +449,33 @@ def knn_run(
     tq = tq or int(_TQ or _auto_tiles(mpad)[0])
     dtype = jnp.float32
     qpad = -(-Q // tq) * tq
-    qT = jnp.pad(queries.astype(dtype).T, ((0, 0), (0, qpad - Q)))
+    big = jnp.asarray(3e37, dtype)
+    queries = queries.astype(dtype)
+    if query_mask is not None:
+        queries = jnp.where(query_mask[:, None], queries, big)
+    qT = jnp.pad(queries.T, ((0, 0), (0, qpad - Q)))
 
     n_chunks = mpad // tt
     n_tiles = qpad // tq
-    big = jnp.asarray(3e37, dtype)
     qch = qT.reshape(3, n_tiles, tq)
-    qvalid = (
-        jnp.arange(qpad) < Q
-    ).reshape(1, n_tiles, tq)
+    qvalid = jnp.arange(qpad) < Q
+    if query_mask is not None:
+        qvalid = qvalid & jnp.pad(query_mask, (0, qpad - Q))
+    qvalid = qvalid.reshape(1, n_tiles, tq)
     qlo = jnp.min(jnp.where(qvalid, qch, big), axis=2)  # (3, n_tiles)
     qhi = jnp.max(jnp.where(qvalid, qch, -big), axis=2)
 
-    # Per-tile ACTIVE CHUNK LIST: the exact set of chunks whose bounding box
-    # is within the radius of the tile's query box (anything else cannot
-    # contribute a match under the strict < max_dist filter). Packed left in
-    # ascending chunk order via a stable argsort of the inactive flags —
-    # ascending order preserves global first-index tie-breaking.
+    # Per-tile ACTIVE CHUNK LIST: the exact set of chunks whose (rotated)
+    # bounding box is within the radius of the tile's query box (anything
+    # else cannot contribute a match under the strict < max_dist filter),
+    # ordered NEAREST-FIRST so the kernel's running-best gate prunes the
+    # tail (see _knn_kernel; tie order does not affect outputs — the merge
+    # breaks distance ties by global index).
     r2 = float(max_dist) ** 2 if max_dist > 0 else 0.0
     if r2 > 0:
-        gap = jnp.maximum(
-            jnp.maximum(
-                qlo.T[:, None, :] - prep.bhi.T[None, :, :],
-                prep.blo.T[None, :, :] - qhi.T[:, None, :],
-            ),
-            0.0,
-        )  # (n_tiles, n_chunks, 3)
-        sep2 = jnp.sum(gap * gap, axis=-1)
-        active = sep2 < jnp.asarray(r2, dtype)  # (n_tiles, n_chunks)
-        lst, cnt = _pack_active_lists(active)
+        sep2, nonempty = _tile_gaps(qlo, qhi, prep.rot, prep.rbox)
+        active = (sep2 < jnp.asarray(r2, dtype)) & nonempty[:, None]
+        lst, cnt = _pack_active_lists(active, sep2)
     else:
         lst = jnp.zeros((n_tiles, n_chunks), jnp.int32)
         cnt = jnp.zeros((n_tiles, 1), jnp.int32)
@@ -338,15 +483,26 @@ def knn_run(
     grid = (n_tiles,)
     n_out = 5 if with_coords else 2
     out_dtypes = [jnp.int32, jnp.float32] + [jnp.float32] * (n_out - 2)
+    scratch = [
+        pltpu.VMEM((k, tq), jnp.float32),
+        pltpu.VMEM((k, tq), jnp.int32),
+    ] + [pltpu.VMEM((k, tq), jnp.float32)] * (3 if with_coords else 0)
     outs = pl.pallas_call(
         functools.partial(
-            _knn_kernel, k=k, tt=tt, use_list=r2 > 0, with_coords=with_coords
+            _knn_kernel, k=k, tt=tt, use_list=r2 > 0, with_coords=with_coords,
+            init_v=r2 if r2 > 0 else float("inf"),
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (2, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (6, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec(
                 (n_tiles, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
@@ -361,8 +517,9 @@ def knn_run(
         out_shape=[
             jax.ShapeDtypeStruct((k, qpad), dt) for dt in out_dtypes
         ],
+        scratch_shapes=scratch,
         interpret=_INTERPRET,
-    )(qT, prep.tT, prep.tinv, cnt, lst)
+    )(qT, prep.tT, prep.tinv, prep.rot, prep.rbox, cnt, lst)
 
     if with_coords:
         idx, d2, cx, cy, cz = outs
@@ -476,8 +633,8 @@ class DualTargetPrep(NamedTuple):
 
     tT: jax.Array  # (3, mpad) padded concat targets, edges first
     tinv: jax.Array  # (1, mpad) additive +inf invalidation
-    blo: jax.Array  # (3, n_chunks) per-chunk bbox lows
-    bhi: jax.Array  # (3, n_chunks)
+    rot: jax.Array  # (2, n_chunks) unit chunk-frame direction
+    rbox: jax.Array  # (6, n_chunks) chunk box in its frame: u/v/z lo,hi
     n_edge: int  # Me: true edge target count
     mepad: int  # padded edge block length (planar indices offset)
     tt: int  # chunk length the boxes were built with
@@ -510,13 +667,11 @@ def knn_dual_prep(
     )
 
     n_chunks = mpad // tt
-    big = jnp.asarray(3e37, dtype)
     tvalid = jnp.isfinite(tinv[0])
     tch = tT.reshape(3, n_chunks, tt)
     vch = tvalid.reshape(n_chunks, tt)[None]
-    blo = jnp.min(jnp.where(vch, tch, big), axis=2)
-    bhi = jnp.max(jnp.where(vch, tch, -big), axis=2)
-    return DualTargetPrep(tT, tinv, blo, bhi, Me, mepad, tt)
+    rot, rbox = _chunk_frames(tch, vch)
+    return DualTargetPrep(tT, tinv, rot, rbox, Me, mepad, tt)
 
 
 def _padcat(a, b, na, nb, fill=0.0):
@@ -553,7 +708,7 @@ def knn_dual_run(
     tt = prep.tt
     mepad = prep.mepad
     mpad = prep.tT.shape[1]
-    tT, tinv, blo, bhi = prep.tT, prep.tinv, prep.blo, prep.bhi
+    tT, tinv, rot, rbox = prep.tT, prep.tinv, prep.rot, prep.rbox
 
     qT = _padcat(q_edge.astype(dtype).T, q_plane.astype(dtype).T, epad, ppad)
 
@@ -569,17 +724,10 @@ def knn_dual_run(
     qlo = jnp.min(jnp.where(qvch, qch, big), axis=2)
     qhi = jnp.max(jnp.where(qvch, qch, -big), axis=2)
 
-    # Per-tile active chunk list: bbox separation vs the TILE's class
-    # radius, intersected with the tile's class block. Every chunk in a
-    # resulting list is same-class, so the kernel needs no class logic.
-    gap = jnp.maximum(
-        jnp.maximum(
-            qlo.T[:, None, :] - bhi.T[None, :, :],
-            blo.T[None, :, :] - qhi.T[:, None, :],
-        ),
-        0.0,
-    )  # (n_tiles, n_chunks, 3)
-    sep2 = jnp.sum(gap * gap, axis=-1)
+    # Per-tile active chunk list: rotated-frame box separation vs the TILE's
+    # class radius, intersected with the tile's class block. Every chunk in
+    # a resulting list is same-class, so the kernel needs no class logic.
+    sep2, nonempty = _tile_gaps(qlo, qhi, rot, rbox)
     tile_is_edge = jnp.arange(n_tiles) < ne_tiles
     chunk_is_edge = jnp.arange(n_chunks) < ne_chunks
     r2_tile = jnp.where(
@@ -587,18 +735,32 @@ def knn_dual_run(
         jnp.asarray(float(max_dist_edge) ** 2, dtype),
         jnp.asarray(float(max_dist_plane) ** 2, dtype),
     )
-    active = (sep2 < r2_tile[:, None]) & (
-        tile_is_edge[:, None] == chunk_is_edge[None, :]
+    active = (
+        (sep2 < r2_tile[:, None])
+        & nonempty[:, None]
+        & (tile_is_edge[:, None] == chunk_is_edge[None, :])
     )
-    lst, cnt = _pack_active_lists(active)
+    lst, cnt = _pack_active_lists(active, sep2)
 
     idx, d2 = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, tt=tt, use_list=True),
+        functools.partial(
+            _knn_kernel, k=k, tt=tt, use_list=True,
+            # one static init for both classes: the larger radius bound is
+            # correct for each (candidates below a class's own r^2 always
+            # enter; dead slots >= class r^2 are filtered in unpack())
+            init_v=max(float(max_dist_edge) ** 2, float(max_dist_plane) ** 2),
+        ),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((3, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (2, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (6, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec(
                 (n_tiles, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
@@ -614,8 +776,12 @@ def knn_dual_run(
             jax.ShapeDtypeStruct((k, qpad), jnp.int32),
             jax.ShapeDtypeStruct((k, qpad), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((k, tq), jnp.float32),
+            pltpu.VMEM((k, tq), jnp.int32),
+        ],
         interpret=_INTERPRET,
-    )(qT, tT, tinv, cnt, lst)
+    )(qT, tT, tinv, rot, rbox, cnt, lst)
 
     def unpack(off, n, kc, max_dist, idx_off):
         i = idx[:kc, off : off + n].T  # (n, kc) ascending => first kc nearest

@@ -366,15 +366,19 @@ def _register_impl(
             # with_coords: the kernel hands back neighbor coordinates in
             # packed layout — association fits run gather- and
             # transpose-free (associate.py PackedKnn fast path).
+            # query_mask: invalid source slots (most of the edge capacity)
+            # stop generating kernel visits; association masks them anyway.
             return knn_run(
                 e_prep, q, params.num_edge_neighbors,
                 params.max_edge_neighbor_dist, with_coords=True,
+                query_mask=source.edge_mask,
             ), None
 
         def plane_knn(q):
             return knn_run(
                 p_prep, q, params.num_plane_neighbors,
                 params.max_plane_neighbor_dist, with_coords=True,
+                query_mask=source.planar_mask,
             ), None
 
     else:
