@@ -125,10 +125,10 @@ def _extract_k_rows(d2, row, k):
 
 
 def _knn_kernel(
-    q_ref, t_ref, tinv_ref, rot_ref, rbox_ref, cnt_ref, lst_ref,
+    q_ref, t_ref, rot_ref, rbox_ref, cnt_ref, lst_ref,
     idx_ref, d2_ref, *rest_refs,
     k: int, tt: int, use_list: bool, with_coords: bool = False,
-    init_v: float = float("inf"),
+    init_v: float = float("inf"), n_sub: int = 1,
 ):
     """Top-k body with ADAPTIVE culling (see knn_run for the jit-level half).
 
@@ -161,11 +161,13 @@ def _knn_kernel(
 
     q = q_ref[...]  # (3, TQ)
     tq = q.shape[1]
+    assert tq % n_sub == 0
+    sw = tq // n_sub  # sub-block width (lane granularity: keep >= 128)
     m_total = t_ref.shape[1]
     # hoisted: program_id inside a lax.cond/fori_loop closure stages the
     # primitive into the branch jaxpr, which interpret mode can't evaluate
     tile = pl.program_id(0)
-    row = lax.broadcasted_iota(jnp.int32, (tt, tq), 0)
+    row = lax.broadcasted_iota(jnp.int32, (tt, sw), 0)
     qx = q[0][None, :]
     qy = q[1][None, :]
     qz = q[2][None, :]
@@ -184,14 +186,18 @@ def _knn_kernel(
 
     imax = jnp.int32(2147483647)
 
-    def chunk_work(c):
+    def chunk_work(c, s):
+        """Chunk c against query sub-block s (columns [s*sw, (s+1)*sw))."""
+        lo = s * sw
         off = c * tt
         t = t_ref[:, pl.ds(off, tt)]  # (3, TT)
-        tinv = tinv_ref[0, pl.ds(off, tt)]  # (TT,) +inf at invalid slots
-        dx = t[0][:, None] - qx
-        dy = t[1][:, None] - qy
-        dz = t[2][:, None] - qz
-        d2 = dx * dx + dy * dy + dz * dz + tinv[:, None]  # (TT, TQ)
+        # invalid target slots carry +3e37 sentinel coordinates (knn_prep),
+        # so their squared distances overflow to +inf with no separate
+        # invalidation row — one load and one add per element saved
+        dx = t[0][:, None] - qx[:, lo : lo + sw]
+        dy = t[1][:, None] - qy[:, lo : lo + sw]
+        dz = t[2][:, None] - qz[:, lo : lo + sw]
+        d2 = dx * dx + dy * dy + dz * dz  # (TT, SW)
         # k extraction passes; with_coords also selects the chosen rows'
         # coordinates (exact copies of t — no arithmetic), so callers skip
         # the XLA neighbor gather entirely (the largest per-iteration cost
@@ -224,11 +230,13 @@ def _knn_kernel(
         ci = (jnp.stack(crs, axis=0) + off).astype(jnp.int32)
         # merge running + chunk candidates on lexicographic (value, index):
         # global first-index tie-breaking independent of visit order
-        mv = jnp.concatenate([sv[...], cv], axis=0)  # (2k, TQ)
-        mi = jnp.concatenate([si[...], ci], axis=0)
+        mv = jnp.concatenate([sv[:, lo : lo + sw], cv], axis=0)  # (2k, SW)
+        mi = jnp.concatenate([si[:, lo : lo + sw], ci], axis=0)
         if with_coords:
             mc = [
-                jnp.concatenate([sc[a][...], jnp.stack(ccs[a], axis=0)], axis=0)
+                jnp.concatenate(
+                    [sc[a][:, lo : lo + sw], jnp.stack(ccs[a], axis=0)], axis=0
+                )
                 for a in range(3)
             ]
         nv, ni = [], []
@@ -244,10 +252,10 @@ def _knn_kernel(
                 for a in range(3):
                     nc[a].append(jnp.sum(jnp.where(sel, mc[a], 0.0), axis=0))
             mv = jnp.where(sel, jnp.inf, mv)
-        sv[...] = jnp.stack(nv, axis=0)
-        si[...] = jnp.stack(ni, axis=0)
+        sv[:, lo : lo + sw] = jnp.stack(nv, axis=0)
+        si[:, lo : lo + sw] = jnp.stack(ni, axis=0)
         for a in range(n_coord):
-            sc[a][...] = jnp.stack(nc[a], axis=0)
+            sc[a][:, lo : lo + sw] = jnp.stack(nc[a], axis=0)
 
     def visit(j, carry):
         c = lst_ref[tile, j] if use_list else j
@@ -271,9 +279,18 @@ def _knn_kernel(
         kth = sv[pl.ds(k - 1, 1), :]  # (1, TQ)
         improving = (lb < kth).astype(jnp.int32)
 
-        @pl.when(jnp.max(improving) > 0)
-        def _():
-            chunk_work(c)
+        # Gate per query SUB-BLOCK: a chunk near the tile's span always has
+        # SOME improvable query, so a whole-tile gate admits ~every in-span
+        # chunk for all tq columns; sub-block gates shrink the processed
+        # columns to the chunk's own neighborhood (the k-th-best reach),
+        # cutting (TT, tq) element work to (TT, sw) on the blocks that
+        # matter. Per-column exactness is unchanged.
+        for s in range(n_sub):
+            imp_s = improving[:, s * sw : (s + 1) * sw]
+
+            @pl.when(jnp.max(imp_s) > 0)
+            def _(c=c, s=s):
+                chunk_work(c, s)
 
         return carry
 
@@ -298,8 +315,7 @@ class TargetPrep(NamedTuple):
     one trace (do not pass across a jit boundary).
     """
 
-    tT: jax.Array  # (3, mpad) padded transposed targets
-    tinv: jax.Array  # (1, mpad) additive +inf invalidation
+    tT: jax.Array  # (3, mpad) padded transposed targets (+3e37 at invalid)
     rot: jax.Array  # (2, n_chunks) unit chunk-frame direction (cx, cy)
     rbox: jax.Array  # (6, n_chunks) chunk box in its frame: u/v/z lo,hi
     m: int  # true target count
@@ -383,24 +399,24 @@ def knn_prep(
     targets: jax.Array, target_mask: jax.Array, tt: int = None
 ) -> TargetPrep:
     """Build the target-side state for :func:`knn_run` (pad + transpose +
-    per-chunk rotated bounding boxes; static-shape pads, no update-slices)."""
+    per-chunk rotated bounding boxes; static-shape pads, no update-slices).
+
+    Invalid and padding slots are stored as +3e37 sentinel coordinates: their
+    squared distances overflow to +inf inside the kernel, replacing the
+    separate additive-invalidation row (one load + one add per element)."""
     dtype = jnp.float32
     M = targets.shape[0]
     tt = tt or int(_TT or _auto_tiles(M)[1])
     mpad = max(-(-M // tt) * tt, tt)
-    tT = jnp.pad(targets.astype(dtype).T, ((0, 0), (0, mpad - M)))
-    inf = jnp.asarray(jnp.inf, dtype)
-    tinv = jnp.pad(
-        jnp.where(target_mask, 0.0, inf)[None],
-        ((0, 0), (0, mpad - M)),
-        constant_values=jnp.inf,
-    )
+    big = jnp.asarray(3e37, dtype)
+    t = jnp.where(target_mask[:, None], targets.astype(dtype), big)
+    tT = jnp.pad(t.T, ((0, 0), (0, mpad - M)), constant_values=3e37)
     n_chunks = mpad // tt
-    tvalid = jnp.isfinite(tinv[0])
+    tvalid = jnp.pad(target_mask, (0, mpad - M))
     tch = tT.reshape(3, n_chunks, tt)
     vch = tvalid.reshape(n_chunks, tt)[None]
     rot, rbox = _chunk_frames(tch, vch)
-    return TargetPrep(tT, tinv, rot, rbox, M, tt)
+    return TargetPrep(tT, rot, rbox, M, tt)
 
 
 class PackedKnn(NamedTuple):
@@ -487,16 +503,21 @@ def knn_run(
         pltpu.VMEM((k, tq), jnp.float32),
         pltpu.VMEM((k, tq), jnp.int32),
     ] + [pltpu.VMEM((k, tq), jnp.float32)] * (3 if with_coords else 0)
+    # sub-block gate granularity: 1 measured fastest on v5e at every tested
+    # scale (finer sub-gates DO shrink the processed columns, but each
+    # gated region re-slices the chunk and pays cond + narrow-operand MXU
+    # overhead that outweighs the saved elements: 1047/1158/1527 us for
+    # sub=1/2/4 at 17k x 17k). LOAM_KNN_SUB overrides for future sweeps.
+    n_sub = int(os.environ.get("LOAM_KNN_SUB", "0")) or 1
     outs = pl.pallas_call(
         functools.partial(
             _knn_kernel, k=k, tt=tt, use_list=r2 > 0, with_coords=with_coords,
-            init_v=r2 if r2 > 0 else float("inf"),
+            init_v=r2 if r2 > 0 else float("inf"), n_sub=n_sub,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (2, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
@@ -519,7 +540,7 @@ def knn_run(
         ],
         scratch_shapes=scratch,
         interpret=_INTERPRET,
-    )(qT, prep.tT, prep.tinv, prep.rot, prep.rbox, cnt, lst)
+    )(qT, prep.tT, prep.rot, prep.rbox, cnt, lst)
 
     if with_coords:
         idx, d2, cx, cy, cz = outs
@@ -631,8 +652,7 @@ class DualTargetPrep(NamedTuple):
     be treated as traced pytree leaves).
     """
 
-    tT: jax.Array  # (3, mpad) padded concat targets, edges first
-    tinv: jax.Array  # (1, mpad) additive +inf invalidation
+    tT: jax.Array  # (3, mpad) padded concat targets, edges first (+3e37 invalid)
     rot: jax.Array  # (2, n_chunks) unit chunk-frame direction
     rbox: jax.Array  # (6, n_chunks) chunk box in its frame: u/v/z lo,hi
     n_edge: int  # Me: true edge target count
@@ -655,23 +675,20 @@ def knn_dual_prep(
     mppad = max(-(-Mp // tt) * tt, tt)
     mpad = mepad + mppad
 
-    # prep is pad+concat only (static-shape pads fuse; no update-slices)
-    tT = _padcat(t_edge.astype(dtype).T, t_plane.astype(dtype).T, mepad, mppad)
-    inf = jnp.asarray(jnp.inf, dtype)
-    tinv = _padcat(
-        jnp.where(t_edge_mask, 0.0, inf)[None],
-        jnp.where(t_plane_mask, 0.0, inf)[None],
-        mepad,
-        mppad,
-        fill=jnp.inf,
-    )
-
+    # prep is pad+concat only (static-shape pads fuse; no update-slices);
+    # invalid slots carry +3e37 sentinel coordinates (see knn_prep)
+    big = jnp.asarray(3e37, dtype)
+    te = jnp.where(t_edge_mask[:, None], t_edge.astype(dtype), big)
+    tp = jnp.where(t_plane_mask[:, None], t_plane.astype(dtype), big)
+    tT = _padcat(te.T, tp.T, mepad, mppad, fill=3e37)
     n_chunks = mpad // tt
-    tvalid = jnp.isfinite(tinv[0])
+    tvalid = _padcat(
+        t_edge_mask[None], t_plane_mask[None], mepad, mppad, fill=False
+    )[0]
     tch = tT.reshape(3, n_chunks, tt)
     vch = tvalid.reshape(n_chunks, tt)[None]
     rot, rbox = _chunk_frames(tch, vch)
-    return DualTargetPrep(tT, tinv, rot, rbox, Me, mepad, tt)
+    return DualTargetPrep(tT, rot, rbox, Me, mepad, tt)
 
 
 def _padcat(a, b, na, nb, fill=0.0):
@@ -708,7 +725,7 @@ def knn_dual_run(
     tt = prep.tt
     mepad = prep.mepad
     mpad = prep.tT.shape[1]
-    tT, tinv, rot, rbox = prep.tT, prep.tinv, prep.rot, prep.rbox
+    tT, rot, rbox = prep.tT, prep.rot, prep.rbox
 
     qT = _padcat(q_edge.astype(dtype).T, q_plane.astype(dtype).T, epad, ppad)
 
@@ -749,12 +766,12 @@ def knn_dual_run(
             # correct for each (candidates below a class's own r^2 always
             # enter; dead slots >= class r^2 are filtered in unpack())
             init_v=max(float(max_dist_edge) ** 2, float(max_dist_plane) ** 2),
+            n_sub=int(os.environ.get("LOAM_KNN_SUB", "0")) or 1,
         ),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((3, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (2, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
@@ -781,7 +798,7 @@ def knn_dual_run(
             pltpu.VMEM((k, tq), jnp.int32),
         ],
         interpret=_INTERPRET,
-    )(qT, tT, tinv, rot, rbox, cnt, lst)
+    )(qT, tT, rot, rbox, cnt, lst)
 
     def unpack(off, n, kc, max_dist, idx_off):
         i = idx[:kc, off : off + n].T  # (n, kc) ascending => first kc nearest
