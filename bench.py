@@ -89,6 +89,32 @@ def _apply_safe_mode():
     jax.clear_caches()
 
 
+def _force(tree):
+    """TRUE completion barrier (device->host read of one element per leaf).
+
+    ``jax.block_until_ready`` is unreliable on the remote-attached (axon)
+    backend — it can return in ~0.3 ms for a ~200 ms execution, which made
+    earlier bench numbers (BENCH_r02: 548 scans/s) measure partly enqueue
+    rate. Every timed loop here enqueues its reps then crosses this barrier
+    once; see loam_tpu/profiling.py::force."""
+    from loam_tpu.profiling import force
+
+    force(tree)
+
+
+def _timed(run, frames: int, reps: int) -> float:
+    """Sustained scans/s: enqueue ``reps`` runs (device executions
+    serialize), one true barrier at the end. The single final ~28 ms
+    dispatch/transfer round trip is included — honest for a remote chip,
+    negligible at reps>=3."""
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = run()
+    _force(out)
+    return frames * reps / (time.perf_counter() - t0)
+
+
 def _run_bench(
     frames: int, reps: int, backend: str, chunk: int, motion_init: bool,
     safe: bool = False,
@@ -120,18 +146,13 @@ def _run_bench(
             scans, lidar, feat_params, reg_params, chunk_pairs=chunk,
             motion_init=motion_init,
         )
-        jax.block_until_ready(traj)
         return traj
 
     traj = run()  # compile + warmup
+    _force(traj)
     _check_accuracy(traj, poses, frames)
 
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        run()
-    elapsed = time.perf_counter() - t0
-
-    return frames * reps / elapsed
+    return _timed(run, frames, reps)
 
 
 def _run_bench_batched_pairs(frames: int, reps: int, safe: bool = False) -> float:
@@ -157,20 +178,17 @@ def _run_bench_batched_pairs(frames: int, reps: int, safe: bool = False) -> floa
     feat_params = _feat_params(safe)
     reg_params = _reg_params(safe)
 
-    def run(s):
+    def run():
         traj, details = odometry_offline(
-            s, lidar, feat_params, reg_params, chunk_pairs=8,
+            scans, lidar, feat_params, reg_params, chunk_pairs=8,
             motion_init=True,
         )
-        jax.block_until_ready(traj)
         return traj
 
-    traj = run(scans)
+    traj = run()
+    _force(traj)
     _check_accuracy(traj, poses, frames)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        run(scans)
-    return frames * reps / (time.perf_counter() - t0)
+    return _timed(run, frames, reps)
 
 
 def _run_bench_scan_to_map(frames: int, reps: int, safe: bool = False) -> float:
@@ -202,15 +220,12 @@ def _run_bench_scan_to_map(frames: int, reps: int, safe: bool = False) -> float:
             scans, lidar, feat_params=_feat_params(safe),
             reg_params=_reg_params(safe, default_map_reg_params()),
         )
-        jax.block_until_ready(traj)
         return traj
 
     traj = run()
+    _force(traj)
     _check_accuracy(traj, poses, frames)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        run()
-    return frames * reps / (time.perf_counter() - t0)
+    return _timed(run, frames, reps)
 
 
 def _run_bench_dataset(frames: int, reps: int, safe: bool = False) -> float:
@@ -270,16 +285,13 @@ def _run_bench_dataset(frames: int, reps: int, safe: bool = False) -> float:
             arr, lidar, feat_params, reg_params, chunk_pairs=4,
             motion_init=True,
         )
-        jax.block_until_ready(traj)
         return traj
 
     traj = run()
+    _force(traj)
     if poses is not None:
         _check_accuracy(traj, poses, frames)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        run()
-    return frames * reps / (time.perf_counter() - t0)
+    return _timed(run, frames, reps)
 
 
 def main():

@@ -31,6 +31,34 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def force(tree) -> None:
+    """TRUE completion barrier: device->host read of one scalar per leaf.
+
+    ``jax.block_until_ready`` is NOT reliable on remote-attached backends
+    (axon): measured here, it sometimes returns in ~0.3 ms for a ~200 ms
+    execution (the ready-future resolves on remote acceptance, not
+    completion), while a ``np.asarray`` of any element always waits for the
+    data. Every timing path in this repo must use this, never
+    ``block_until_ready``, or it measures enqueue rate.
+    """
+    import numpy as np
+
+    for l in jax.tree.leaves(tree):
+        if hasattr(l, "dtype") and hasattr(l, "ndim"):
+            np.asarray(l.ravel()[:1] if l.ndim else l)
+
+
+def _roundtrip_s() -> float:
+    """Measured dispatch+transfer floor of one forced tiny op (seconds)."""
+    f = jax.jit(lambda a: a + 1)
+    x = jnp.zeros((), jnp.float32)
+    force(f(x))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        force(f(x))
+    return (time.perf_counter() - t0) / 3
+
+
 def device_time(
     fn: Callable,
     x: jax.Array,
@@ -62,8 +90,13 @@ def device_time(
         return c
 
     jloop = jax.jit(loop)
-    jax.block_until_ready(jloop(x))  # compile + warm
+    force(jloop(x))  # compile + warm + drain the queue
+    rt = _roundtrip_s()
     t0 = time.perf_counter()
+    out = None
     for _ in range(reps):
-        jax.block_until_ready(jloop(x))
-    return (time.perf_counter() - t0) / (reps * n_inner)
+        out = jloop(x)  # enqueue; executions serialize on device
+    force(out)  # one true barrier at the end
+    elapsed = time.perf_counter() - t0
+    # subtract the single final dispatch/transfer round trip, not per rep
+    return max(elapsed - rt, 1e-9) / (reps * n_inner)
