@@ -67,14 +67,18 @@ def main():
             est, _ = lax.scan(step, est0, None, length=N)
             return est.translation
 
+        from loam_tpu.profiling import force, _roundtrip_s
+
         f = jax.jit(lambda s, t: jax.vmap(one_pair)(s, t))
-        r = f(src, tgt)
-        jax.block_until_ready(r)
+        force(f(src, tgt))  # compile + drain
+        rt = _roundtrip_s()
         reps = 3
         t0 = time.perf_counter()
+        out = None
         for _ in range(reps):
-            jax.block_until_ready(f(src, tgt))
-        dt = (time.perf_counter() - t0) / (reps * N)
+            out = f(src, tgt)
+        force(out)
+        dt = (time.perf_counter() - t0 - rt) / (reps * N)
         print(f"{name:52s} {dt*1000:9.3f} ms/iter (C={C})", flush=True)
         return dt
 
@@ -103,9 +107,11 @@ def main():
             qe = est.act(s.edge_points)
             qp = est.act(s.planar_points)
             e = knn_run(e_prep, qe, reg.num_edge_neighbors,
-                        reg.max_edge_neighbor_dist, with_coords=True)
+                        reg.max_edge_neighbor_dist, with_coords=True,
+                        query_mask=s.edge_mask)
             p = knn_run(p_prep, qp, reg.num_plane_neighbors,
-                        reg.max_plane_neighbor_dist, with_coords=True)
+                        reg.max_plane_neighbor_dist, with_coords=True,
+                        query_mask=s.planar_mask)
             return nudge(est, [e.xs, p.xs])
         return body
 
@@ -120,9 +126,11 @@ def main():
             qe = est.act(s.edge_points)
             qp = est.act(s.planar_points)
             e = knn_run(e_prep, qe, reg.num_edge_neighbors,
-                        reg.max_edge_neighbor_dist, with_coords=True)
+                        reg.max_edge_neighbor_dist, with_coords=True,
+                        query_mask=s.edge_mask)
             p = knn_run(p_prep, qp, reg.num_plane_neighbors,
-                        reg.max_plane_neighbor_dist, with_coords=True)
+                        reg.max_plane_neighbor_dist, with_coords=True,
+                        query_mask=s.planar_mask)
             ea = associate_edges(qe, s.edge_mask, t.edge_points, t.edge_mask,
                                  reg, knn_result=e)
             pa = associate_planes(qp, s.planar_mask, t.planar_points,
@@ -141,9 +149,11 @@ def main():
             qe = est.act(s.edge_points)
             qp = est.act(s.planar_points)
             e = knn_run(e_prep, qe, reg.num_edge_neighbors,
-                        reg.max_edge_neighbor_dist, with_coords=True)
+                        reg.max_edge_neighbor_dist, with_coords=True,
+                        query_mask=s.edge_mask)
             p = knn_run(p_prep, qp, reg.num_plane_neighbors,
-                        reg.max_plane_neighbor_dist, with_coords=True)
+                        reg.max_plane_neighbor_dist, with_coords=True,
+                        query_mask=s.planar_mask)
             ea = associate_edges(qe, s.edge_mask, t.edge_points, t.edge_mask,
                                  reg, knn_result=e)
             pa = associate_planes(qp, s.planar_mask, t.planar_points,
