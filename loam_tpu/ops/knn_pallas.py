@@ -126,9 +126,9 @@ def _extract_k_rows(d2, row, k):
 
 def _knn_kernel(
     q_ref, t_ref, rot_ref, rbox_ref, cnt_ref, lst_ref,
-    idx_ref, d2_ref, *rest_refs,
+    *refs,
     k: int, tt: int, use_list: bool, with_coords: bool = False,
-    init_v: float = float("inf"), n_sub: int = 1,
+    init_v: float = float("inf"), n_sub: int = 1, with_bound: bool = False,
 ):
     """Top-k body with ADAPTIVE culling (see knn_run for the jit-level half).
 
@@ -153,7 +153,15 @@ def _knn_kernel(
     visit-order invariant — identical to XLA ``topk_min``'s ascending
     (distance, first-index) semantics.
     """
+    if with_bound:
+        # (1, TQ) per-query UPPER bound on the k-th smallest d^2, from seed
+        # candidates recomputed at the jit level (see seed_bound helpers).
+        # Only the gate reads it; results never copy seed values, so a loose
+        # or stale bound costs visits, never correctness.
+        bnd_ref, *refs = refs
+    rest_refs = refs
     n_coord = 3 if with_coords else 0
+    idx_ref, d2_ref, *rest_refs = rest_refs
     coord_refs = rest_refs[:n_coord]
     sv = rest_refs[n_coord]  # (k, TQ) f32 scratch: running best distances
     si = rest_refs[n_coord + 1]  # (k, TQ) i32 scratch: global indices
@@ -277,7 +285,13 @@ def _knn_kernel(
         gz = jnp.maximum(jnp.maximum(rbox_ref[4, c] - qz, qz - rbox_ref[5, c]), 0.0)
         lb = gu * gu + gv * gv + gz * gz  # (1, TQ)
         kth = sv[pl.ds(k - 1, 1), :]  # (1, TQ)
-        improving = (lb < kth).astype(jnp.int32)
+        if with_bound:
+            kth = jnp.minimum(kth, bnd_ref[...])
+        # <= so a chunk whose bound TIES the k-th best is still visited: it
+        # may hold an equal-distance lower-index candidate that must win
+        # the lexicographic merge (extreme points sit exactly on their
+        # chunk's bbox, so lb == d happens on axis-aligned geometry).
+        improving = (lb <= kth).astype(jnp.int32)
 
         # Gate per query SUB-BLOCK: a chunk near the tile's span always has
         # SOME improvable query, so a whole-tile gate admits ~every in-span
@@ -435,6 +449,91 @@ class PackedKnn(NamedTuple):
     zs: jax.Array
 
 
+#: Relative inflation applied to every seed bound: the bound is recomputed
+#: at the jit level while the kernel recomputes distances in its own Mosaic
+#: codegen; fma-vs-mul+add rounding can skew the same expression by a few
+#: ulps, and the bound must stay an UPPER bound in kernel arithmetic for the
+#: gate to be exact. ~8 ulps of slack (plus a denormal-scale absolute term)
+#: costs a negligible number of extra visits.
+_BOUND_SLACK = 1.000001
+
+
+def kth_smallest_bound(d2: jax.Array, k: int) -> jax.Array:
+    """Sound (Q,) upper bound on the k-th smallest of ``d2`` (W, Q) candidate
+    squared distances (+inf entries = invalid candidates).
+
+    k-1 min-extraction passes then a final min. Duplicated minima are masked
+    together, which can only push the result TOWARD LARGER values (or +inf
+    when fewer than k distinct survive) — i.e. looser, never unsound.
+    """
+    d = d2
+    for _ in range(k - 1):
+        m = jnp.min(d, axis=0)
+        d = jnp.where(d == m[None, :], jnp.inf, d)
+    b = jnp.min(d, axis=0)
+    return b * _BOUND_SLACK + jnp.float32(1e-35)
+
+
+def seed_bound_from_packed(
+    queries: jax.Array, xs, ys, zs, mask
+) -> jax.Array:
+    """(Q,) k-th-distance bound from a previous :class:`PackedKnn` result
+    whose coordinates are still valid target points (the ICF warm start:
+    targets are fixed across iterations; only the queries moved).
+
+    The bound is the max over the k candidates' CURRENT squared distances
+    when all k slots are valid, else +inf (fewer than k in-radius neighbors
+    last iteration means the running init r^2 is already the best bound).
+    """
+    dx = queries[:, 0][None, :] - xs
+    dy = queries[:, 1][None, :] - ys
+    dz = queries[:, 2][None, :] - zs
+    d2 = dx * dx + dy * dy + dz * dz  # (k, Q)
+    b = jnp.max(d2, axis=0) * _BOUND_SLACK + jnp.float32(1e-35)
+    return jnp.where(jnp.all(mask, axis=0), b, jnp.inf)
+
+
+def window_candidates(
+    targets: jax.Array,
+    target_mask: jax.Array,
+    q_count: int,
+    w: int = 8,
+):
+    """Cold-seed candidates for two azimuth-sorted feature sets of equal
+    capacity: the targets at the SAME slot rank +/- w/2 as each query slot
+    (consecutive scans place corresponding returns at nearly equal sorted
+    ranks, so slot-aligned windows are within sampling pitch + motion of the
+    true neighbors, with NO gather — w rolls = static slices).
+
+    Returns loop-invariant ``(xs, ys, zs, ok)``, each (w, q_count): hoist
+    above the ICF while_loop and feed :func:`seed_bound_from_window` with
+    the CURRENT (moved) queries every iteration. Misaligned orderings (e.g.
+    a Morton-keyed map target) only loosen the bound — never unsound."""
+    Q = q_count
+    M = targets.shape[0]
+    n = min(Q, M)
+    cs, oks = [], []
+    for off in range(-(w // 2), w - w // 2):
+        t = jnp.roll(targets, -off, axis=0)[:n]
+        m = jnp.roll(target_mask, -off)[:n]
+        j = jnp.arange(n) + off
+        ok = m & (j >= 0) & (j < M)
+        cs.append(jnp.pad(t, ((0, Q - n), (0, 0))))
+        oks.append(jnp.pad(ok, (0, Q - n)))
+    c = jnp.stack(cs, axis=0)  # (w, Q, 3)
+    return c[:, :, 0], c[:, :, 1], c[:, :, 2], jnp.stack(oks, axis=0)
+
+
+def seed_bound_from_window(queries, xs, ys, zs, ok, k: int) -> jax.Array:
+    """(Q,) k-th-distance bound from :func:`window_candidates` at the
+    CURRENT query positions (includes the soundness slack)."""
+    dx = queries[:, 0][None, :] - xs
+    dy = queries[:, 1][None, :] - ys
+    dz = queries[:, 2][None, :] - zs
+    d2 = jnp.where(ok, dx * dx + dy * dy + dz * dz, jnp.inf)
+    return kth_smallest_bound(d2, k)
+
+
 def knn_run(
     prep: TargetPrep,
     queries: jax.Array,
@@ -443,6 +542,7 @@ def knn_run(
     tq: int = None,
     with_coords: bool = False,
     query_mask: jax.Array = None,
+    seed_bound: jax.Array = None,
 ):
     """Query-side half of :func:`knn_pallas` against prebuilt targets.
 
@@ -456,6 +556,17 @@ def knn_run(
     bounding boxes ignore them, so mixed tiles stay tight. Their returned
     neighbor lists are empty — callers that pass a mask must not read
     results for masked slots (the ICF association masks them regardless).
+
+    ``seed_bound``: optional (Q,) f32 UPPER bound on each query's k-th
+    smallest squared distance (+inf where unknown), e.g. from
+    :func:`seed_bound_from_packed` (warm start across ICF iterations) or
+    :func:`kth_smallest_bound` over cheap candidates. The kernel gates each
+    chunk visit on ``lb <= min(running kth, seed_bound)``; since the bound
+    is derived from genuine target points, no chunk holding a true top-k
+    element is ever skipped (d_e <= true_kth <= bound while a skip needs
+    lb > bound >= d_e >= lb), so results are EXACTLY unchanged — a tight
+    bound only removes visits. Results never copy seed values: stale or
+    loose bounds cost time, never correctness.
     """
     from ..neighbors.bruteforce import KnnResult
 
@@ -509,28 +620,41 @@ def knn_run(
     # overhead that outweighs the saved elements: 1047/1158/1527 us for
     # sub=1/2/4 at 17k x 17k). LOAM_KNN_SUB overrides for future sweeps.
     n_sub = int(os.environ.get("LOAM_KNN_SUB", "0")) or 1
+    in_specs = [
+        pl.BlockSpec((3, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (2, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
+        ),
+        pl.BlockSpec(
+            (6, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
+        ),
+        pl.BlockSpec(
+            (n_tiles, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+        ),
+        pl.BlockSpec(
+            (n_tiles, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
+        ),
+    ]
+    operands = [qT, prep.tT, prep.rot, prep.rbox, cnt, lst]
+    if seed_bound is not None:
+        # pad value 0.0 closes the gate for pad slots outright (their
+        # sentinel queries would skip anyway)
+        bnd = jnp.pad(
+            seed_bound.astype(dtype)[None], ((0, 0), (0, qpad - Q))
+        )
+        in_specs.append(
+            pl.BlockSpec((1, tq), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        operands.append(bnd)
     outs = pl.pallas_call(
         functools.partial(
             _knn_kernel, k=k, tt=tt, use_list=r2 > 0, with_coords=with_coords,
             init_v=r2 if r2 > 0 else float("inf"), n_sub=n_sub,
+            with_bound=seed_bound is not None,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((3, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (2, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (6, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (n_tiles, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (n_tiles, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((k, tq), lambda i: (0, i), memory_space=pltpu.VMEM)
             for _ in range(n_out)
@@ -540,7 +664,7 @@ def knn_run(
         ],
         scratch_shapes=scratch,
         interpret=_INTERPRET,
-    )(qT, prep.tT, prep.rot, prep.rbox, cnt, lst)
+    )(*operands)
 
     if with_coords:
         idx, d2, cx, cy, cz = outs

@@ -45,6 +45,12 @@ class _LoopState(NamedTuple):
     status: jax.Array  # int32 TerminationType code
     done: jax.Array  # bool
     detail: IterationInfo  # stacked (max_iterations, ...) slots
+    # warm-start carry for the Pallas kNN gate: previous iteration's packed
+    # neighbor coordinates+mask per class ((xs, ys, zs, mask) x 2), or ()
+    # on search paths without seed support. Bounds recomputed from these at
+    # the CURRENT pose each iteration prune chunk visits exactly (see
+    # ops/knn_pallas.py::knn_run seed_bound).
+    seed: tuple = ()
 
 
 def _angle_from_identity(q: jax.Array) -> jax.Array:
@@ -319,6 +325,7 @@ def _register_impl(
         and params.max_edge_neighbor_dist > 0
         and params.max_plane_neighbor_dist > 0
     )
+    seed_windows = None
     if custom_knn is not None:
         edge_knn, plane_knn = custom_knn
     elif use_grid:
@@ -362,7 +369,7 @@ def _register_impl(
         e_prep = knn_prep(target.edge_points, target.edge_mask)
         p_prep = knn_prep(target.planar_points, target.planar_mask)
 
-        def edge_knn(q):
+        def edge_knn(q, bound=None):
             # with_coords: the kernel hands back neighbor coordinates in
             # packed layout — association fits run gather- and
             # transpose-free (associate.py PackedKnn fast path).
@@ -371,15 +378,27 @@ def _register_impl(
             return knn_run(
                 e_prep, q, params.num_edge_neighbors,
                 params.max_edge_neighbor_dist, with_coords=True,
-                query_mask=source.edge_mask,
+                query_mask=source.edge_mask, seed_bound=bound,
             ), None
 
-        def plane_knn(q):
+        def plane_knn(q, bound=None):
             return knn_run(
                 p_prep, q, params.num_plane_neighbors,
                 params.max_plane_neighbor_dist, with_coords=True,
-                query_mask=source.planar_mask,
+                query_mask=source.planar_mask, seed_bound=bound,
             ), None
+
+        # Seed-bound machinery: slot-aligned cold candidates (hoisted) +
+        # a warm-start carry of the previous iteration's neighbors. Both
+        # only tighten the kernel's visit gate — outputs are exactly those
+        # of the unseeded search. LOAM_KNN_SEED=0 disables for A/B.
+        if os.environ.get("LOAM_KNN_SEED", "1") != "0":
+            from ..ops.knn_pallas import window_candidates
+
+            seed_windows = (
+                window_candidates(target.edge_points, target.edge_mask, E),
+                window_candidates(target.planar_points, target.planar_mask, Q),
+            )
 
     else:
         edge_knn = plane_knn = None
@@ -421,14 +440,29 @@ def _register_impl(
                 params.max_plane_neighbor_dist,
             )
 
+    use_seed = seed_windows is not None and dual_knn is None
+    if not use_seed:
+        seed_windows = None
+    if use_seed:
+        kE = params.num_edge_neighbors
+        kP = params.num_plane_neighbors
+        state0 = state0._replace(
+            seed=(
+                jnp.zeros((kE, E), dtype), jnp.zeros((kE, E), dtype),
+                jnp.zeros((kE, E), dtype), jnp.zeros((kE, E), bool),
+                jnp.zeros((kP, Q), dtype), jnp.zeros((kP, Q), dtype),
+                jnp.zeros((kP, Q), dtype), jnp.zeros((kP, Q), bool),
+            )
+        )
+
     def cond(state: _LoopState):
         return (state.i < I) & ~state.done
 
-    def _call_knn(fn, q):
+    def _call_knn(fn, q, bound=None):
         """Normalize knn closures: (res, nbr) or (res, nbr, overflow)."""
         if fn is None:
             return None, None, jnp.int32(0)
-        out = fn(q)
+        out = fn(q, bound) if bound is not None else fn(q)
         if len(out) == 3:
             return out[0], out[1], out[2].astype(jnp.int32)
         return out[0], out[1], jnp.int32(0)
@@ -437,10 +471,35 @@ def _register_impl(
         est = state.est
         qe = est.act(source.edge_points)
         qp = est.act(source.planar_points)
+        new_seed = state.seed
         if dual_knn is not None:
             e_res, p_res = dual_knn(qe, qp)
             e_nbr = p_nbr = None
             e_ovf = p_ovf = jnp.int32(0)
+        elif use_seed:
+            # kNN visit-gate bounds: min(warm start from last iteration's
+            # neighbors at the CURRENT pose, slot-aligned cold candidates).
+            # Pure pruning — kernel outputs equal the unseeded search.
+            from ..ops.knn_pallas import (
+                seed_bound_from_packed, seed_bound_from_window,
+            )
+
+            exs, eys, ezs, em, pxs, pys, pzs, pm = state.seed
+            ew, pw = seed_windows
+            eb = jnp.minimum(
+                seed_bound_from_packed(qe, exs, eys, ezs, em),
+                seed_bound_from_window(qe, *ew, params.num_edge_neighbors),
+            )
+            pb = jnp.minimum(
+                seed_bound_from_packed(qp, pxs, pys, pzs, pm),
+                seed_bound_from_window(qp, *pw, params.num_plane_neighbors),
+            )
+            e_res, e_nbr, e_ovf = _call_knn(edge_knn, qe, eb)
+            p_res, p_nbr, p_ovf = _call_knn(plane_knn, qp, pb)
+            new_seed = (
+                e_res.xs, e_res.ys, e_res.zs, e_res.mask,
+                p_res.xs, p_res.ys, p_res.zs, p_res.mask,
+            )
         else:
             e_res, e_nbr, e_ovf = _call_knn(edge_knn, qe)
             p_res, p_nbr, p_ovf = _call_knn(plane_knn, qp)
@@ -548,6 +607,7 @@ def _register_impl(
             status=status,
             done=insufficient | converged,
             detail=detail,
+            seed=new_seed,
         )
 
     final = lax.while_loop(cond, body, state0)

@@ -164,3 +164,80 @@ def test_packed_association_matches_gathered():
         np.asarray(pa.normal), np.asarray(pa_ref.normal), atol=2e-4
     )
     np.testing.assert_allclose(np.asarray(pa.d), np.asarray(pa_ref.d), atol=2e-4)
+
+
+@pytest.mark.parametrize("flavour", ["inf", "tight", "loose", "window"])
+def test_seed_bound_results_unchanged(flavour):
+    """seed_bound only prunes visits: outputs must equal the unseeded
+    search bit-for-bit for any sound bound — +inf (no information), the
+    true k-th distance (tightest legal), a random loose bound, and the
+    production slot-window cold seed."""
+    from loam_tpu.ops.knn_pallas import (
+        knn_prep, knn_run, seed_bound_from_window, window_candidates,
+    )
+
+    queries, targets, mask = _sets(11, 1500, 900)
+    k, r = 5, 1.5
+    prep = knn_prep(targets, mask)
+    base = knn_run(prep, queries, k, r)
+    if flavour == "inf":
+        bound = jnp.full((queries.shape[0],), jnp.inf, jnp.float32)
+    elif flavour == "tight":
+        d2 = np.asarray(base.distances) ** 2
+        d2 = np.where(np.isfinite(d2), d2, 4.0)
+        bound = jnp.asarray(
+            (d2[:, k - 1] * 1.000001 + 1e-35).astype(np.float32)
+        )
+    elif flavour == "loose":
+        rng = np.random.default_rng(0)
+        d2 = np.where(np.isfinite(np.asarray(base.distances)), np.asarray(base.distances) ** 2, 4.0)
+        bound = jnp.asarray(
+            (d2[:, k - 1] * (1.0 + rng.random(queries.shape[0])) + 1e-6).astype(np.float32)
+        )
+    else:
+        win = window_candidates(targets, mask, queries.shape[0])
+        bound = seed_bound_from_window(queries, *win, k)
+    res = knn_run(prep, queries, k, r, seed_bound=bound)
+    _assert_same(res, base)
+
+
+def test_warm_start_registration_matches_unseeded(monkeypatch):
+    """The ICF loop with the seed-bound machinery (LOAM_KNN_SEED=1,
+    default) must produce the same pose and detail as with it disabled."""
+    import os
+
+    import jax
+
+    from loam_tpu import LidarParams, extract_features, register_features
+    from loam_tpu.geometry import Pose3
+    from loam_tpu.io import render_trajectory
+    from loam_tpu.params import FeatureExtractionParams
+
+    lidar = LidarParams(16, 512, 0.5, 80.0)
+    scans, _ = render_trajectory(
+        lidar, 2, step=np.array([0.08, 0.02, 0.0]), yaw_rate=0.01,
+        noise=0.005, seed=3, dtype=np.float32,
+    )
+    f0 = extract_features(jnp.asarray(scans[0]), lidar, FeatureExtractionParams())
+    f1 = extract_features(jnp.asarray(scans[1]), lidar, FeatureExtractionParams())
+
+    monkeypatch.setenv("LOAM_KNN_SEED", "0")
+    jax.clear_caches()
+    pose_off, det_off = register_features(f1, f0)
+    monkeypatch.setenv("LOAM_KNN_SEED", "1")
+    jax.clear_caches()
+    pose_on, det_on = register_features(f1, f0)
+
+    np.testing.assert_array_equal(
+        np.asarray(pose_on.rotation), np.asarray(pose_off.rotation)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pose_on.translation), np.asarray(pose_off.translation)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(det_on.num_iterations), np.asarray(det_off.num_iterations)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(det_on.iteration_info.plane_match),
+        np.asarray(det_off.iteration_info.plane_match),
+    )
