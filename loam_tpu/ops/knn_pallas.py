@@ -129,6 +129,7 @@ def _knn_kernel(
     *refs,
     k: int, tt: int, use_list: bool, with_coords: bool = False,
     init_v: float = float("inf"), n_sub: int = 1, with_bound: bool = False,
+    count_visits: bool = False,
 ):
     """Top-k body with ADAPTIVE culling (see knn_run for the jit-level half).
 
@@ -159,13 +160,18 @@ def _knn_kernel(
         # Only the gate reads it; results never copy seed values, so a loose
         # or stale bound costs visits, never correctness.
         bnd_ref, *refs = refs
-    rest_refs = refs
     n_coord = 3 if with_coords else 0
-    idx_ref, d2_ref, *rest_refs = rest_refs
+    idx_ref, d2_ref, *rest_refs = refs
     coord_refs = rest_refs[:n_coord]
-    sv = rest_refs[n_coord]  # (k, TQ) f32 scratch: running best distances
-    si = rest_refs[n_coord + 1]  # (k, TQ) i32 scratch: global indices
-    sc = rest_refs[n_coord + 2 : n_coord + 2 + n_coord]
+    vcount_ref = None
+    nx = n_coord
+    if count_visits:  # debug output: executed chunk_work calls per tile
+        vcount_ref = rest_refs[nx]
+        vcount_ref[...] = jnp.zeros_like(vcount_ref)
+        nx += 1
+    sv = rest_refs[nx]  # (k, TQ) f32 scratch: running best distances
+    si = rest_refs[nx + 1]  # (k, TQ) i32 scratch: global indices
+    sc = rest_refs[nx + 2 : nx + 2 + n_coord]
 
     q = q_ref[...]  # (3, TQ)
     tq = q.shape[1]
@@ -198,6 +204,8 @@ def _knn_kernel(
         """Chunk c against query sub-block s (columns [s*sw, (s+1)*sw))."""
         lo = s * sw
         off = c * tt
+        if count_visits:
+            vcount_ref[0, 0] = vcount_ref[0, 0] + 1
         t = t_ref[:, pl.ds(off, tt)]  # (3, TT)
         # invalid target slots carry +3e37 sentinel coordinates (knn_prep),
         # so their squared distances overflow to +inf with no separate
@@ -543,6 +551,7 @@ def knn_run(
     with_coords: bool = False,
     query_mask: jax.Array = None,
     seed_bound: jax.Array = None,
+    return_visits: bool = False,
 ):
     """Query-side half of :func:`knn_pallas` against prebuilt targets.
 
@@ -647,24 +656,33 @@ def knn_run(
             pl.BlockSpec((1, tq), lambda i: (0, i), memory_space=pltpu.VMEM)
         )
         operands.append(bnd)
+    out_specs = [
+        pl.BlockSpec((k, tq), lambda i: (0, i), memory_space=pltpu.VMEM)
+        for _ in range(n_out)
+    ]
+    out_shape = [jax.ShapeDtypeStruct((k, qpad), dt) for dt in out_dtypes]
+    if return_visits:
+        out_specs.append(
+            pl.BlockSpec((1, tq), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((1, qpad), jnp.int32))
     outs = pl.pallas_call(
         functools.partial(
             _knn_kernel, k=k, tt=tt, use_list=r2 > 0, with_coords=with_coords,
             init_v=r2 if r2 > 0 else float("inf"), n_sub=n_sub,
-            with_bound=seed_bound is not None,
+            with_bound=seed_bound is not None, count_visits=return_visits,
         ),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((k, tq), lambda i: (0, i), memory_space=pltpu.VMEM)
-            for _ in range(n_out)
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((k, qpad), dt) for dt in out_dtypes
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=_INTERPRET,
     )(*operands)
+    visits = None
+    if return_visits:
+        *outs, vc = outs
+        visits = vc.reshape(n_tiles, tq)[:, 0]  # executed chunk_works/tile
 
     if with_coords:
         idx, d2, cx, cy, cz = outs
@@ -674,9 +692,10 @@ def knn_run(
             # same rounding as the reference/XLA path: sqrt then strict <
             # (``kdtree.cpp:24-26``) — a squared compare can differ at ulps
             valid = valid & (jnp.sqrt(jnp.maximum(d2q, 0.0)) < max_dist)
-        return PackedKnn(
+        pk = PackedKnn(
             idx[0, :Q], valid, cx[:, :Q], cy[:, :Q], cz[:, :Q]
         )
+        return (pk, visits) if return_visits else pk
 
     idx, d2 = outs
     idx = idx[:, :Q].T
@@ -685,7 +704,8 @@ def knn_run(
     valid = jnp.isfinite(d2)
     if max_dist > 0:
         valid = valid & (dist < max_dist)
-    return KnnResult(idx, jnp.where(valid, dist, jnp.inf), valid)
+    res = KnnResult(idx, jnp.where(valid, dist, jnp.inf), valid)
+    return (res, visits) if return_visits else res
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_dist", "tq", "tt"))
