@@ -9,10 +9,22 @@ scans/s.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs:
-  LOAM_BENCH_FRAMES  (default 64)  frames per timed batch
-  LOAM_BENCH_REPS    (default 3)   timed repetitions
-  LOAM_BENCH_CHUNK   (default 4)   registration pairs per lockstep chunk
-  LOAM_BENCH_BACKEND (default "bruteforce") neighbor search backend
+  LOAM_BENCH_FRAMES   (default 64)  frames per timed batch
+  LOAM_BENCH_REPS     (default 3)   timed repetitions
+  LOAM_BENCH_CHUNK    (default 4)   registration pairs per lockstep chunk
+  LOAM_BENCH_BACKEND  (default "bruteforce") neighbor search backend
+  LOAM_BENCH_DEADLINE (default 480) wall-clock budget in seconds; the JSON
+                      line is GUARANTEED to print before this elapses
+
+Guaranteed emission (round-4): round 3's official bench run timed out on a
+slow chip session and left the round with no perf record (BENCH_r03.json:
+rc 124, parsed null). Now a watchdog thread force-emits the best partial
+measurement (stamped ``"config"``) and exits 0 if the main path — e.g. a
+hung remote compile — is still running at LOAM_BENCH_DEADLINE; the main
+path additionally downgrades to the cheapest honest config (6 frames,
+1 rep) if warmup hasn't finished by half-deadline. A fixed canary kernel
+is timed at start and reported as ``"canary_ms"`` so session health is
+visible in every artifact.
 
 The pair axis is processed in ``lax.map`` chunks (``chunk_pairs``), so the
 compiled program size is constant in the frame count — large frame batches
@@ -24,9 +36,105 @@ bench halves the frame count and retries.
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+# Shared progress record: the watchdog emits from this if the main thread is
+# stuck (remote compile hangs can't be interrupted from Python).
+_STATE = {
+    "mode": "scan_to_scan",
+    "value": None,       # best honest throughput measured so far (scans/s)
+    "stage": "init",     # init -> canary -> warmup -> gated -> timed -> done
+    "config": "",        # human-readable stamp of the config that produced it
+    "canary_ms": None,
+    "emitted": False,
+    "lock": threading.Lock(),
+}
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T0
+
+
+def _deadline() -> float:
+    return float(os.environ.get("LOAM_BENCH_DEADLINE", "480"))
+
+
+def _record(value, config: str, stage: str = "timed"):
+    with _STATE["lock"]:
+        _STATE["value"] = value
+        _STATE["config"] = config
+        _STATE["stage"] = stage
+
+
+def _emit(value, config: str):
+    """Print THE json line exactly once (main thread or watchdog)."""
+    with _STATE["lock"]:
+        if _STATE["emitted"]:
+            return
+        _STATE["emitted"] = True
+    baseline = 1000.0 / 16.5  # reference: 3.5 ms extract + 13 ms register
+    metric = {
+        "scan_to_map": "e2e_scan_to_map_throughput",
+        "batched_pairs": "batched_pair_registration_throughput",
+        "dataset": "file_fed_odometry_throughput",
+    }.get(_STATE["mode"], "e2e_odometry_throughput")
+    out = {
+        "metric": metric,
+        "value": round(float(value), 2),
+        "unit": "scans/s/chip (64x1024 Ouster-64 scans)",
+        "vs_baseline": round(float(value) / baseline, 2),
+        "config": config,
+    }
+    if _STATE["canary_ms"] is not None:
+        out["canary_ms"] = round(_STATE["canary_ms"], 2)
+    print(json.dumps(out), flush=True)
+
+
+def _watchdog():
+    """Force-emit and exit if the main path blows the deadline."""
+    deadline = _deadline()
+    while True:
+        time.sleep(1.0)
+        with _STATE["lock"]:
+            if _STATE["emitted"]:
+                return
+        if _elapsed() >= deadline - 5.0:
+            v = _STATE["value"]
+            stage = _STATE["stage"]
+            if v is not None:
+                _emit(v, _STATE["config"] + f"; watchdog@{stage}")
+            else:
+                # No measurement completed: value 0 is the honest statement
+                # that this session produced none, but the artifact parses.
+                _emit(0.0, f"watchdog: no measurement (stuck at {stage})")
+            sys.stdout.flush()
+            os._exit(0)
+
+
+def _run_canary() -> float:
+    """Fixed session-health kernel: a 1024x1024x1024 f32 matmul, timed with
+    a true barrier after 3 enqueued reps. ~0.9 ms on a healthy v5e; a slow
+    chip session / tunnel shows up here, making throughput numbers from
+    different sessions comparable (docs/PERFORMANCE.md variance protocol)."""
+    import jax
+    import jax.numpy as jnp
+
+    from loam_tpu.profiling import force
+
+    a = jnp.ones((1024, 1024), jnp.float32)
+    f = jax.jit(lambda x: x @ x)
+    force(f(a))  # compile
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(3):
+        out = f(a)
+    force(out)
+    return (time.perf_counter() - t0) / 3 * 1000.0
 
 
 def _feat_params(safe: bool):
@@ -102,17 +210,28 @@ def _force(tree):
     force(tree)
 
 
-def _timed(run, frames: int, reps: int) -> float:
+def _timed(run, frames: int, reps: int, config: str = "") -> float:
     """Sustained scans/s: enqueue ``reps`` runs (device executions
     serialize), one true barrier at the end. The single final ~28 ms
     dispatch/transfer round trip is included — honest for a remote chip,
-    negligible at reps>=3."""
+    negligible at reps>=3.
+
+    A single-rep measurement runs first and is recorded as a partial result
+    so the watchdog always has an honest number once warmup succeeded."""
+    t0 = time.perf_counter()
+    _force(run())
+    quick = frames / (time.perf_counter() - t0)
+    _record(quick, config + "; reps=1 (partial)")
+    if reps <= 1:
+        return quick
     t0 = time.perf_counter()
     out = None
     for _ in range(reps):
         out = run()
     _force(out)
-    return frames * reps / (time.perf_counter() - t0)
+    val = frames * reps / (time.perf_counter() - t0)
+    _record(val, config)
+    return val
 
 
 def _run_bench(
@@ -148,11 +267,14 @@ def _run_bench(
         )
         return traj
 
+    cfg = f"frames={frames} reps={reps} chunk={chunk} safe={safe}"
+    _STATE["stage"] = "warmup: " + cfg
     traj = run()  # compile + warmup
     _force(traj)
+    _STATE["stage"] = "gated: " + cfg
     _check_accuracy(traj, poses, frames)
 
-    return _timed(run, frames, reps)
+    return _timed(run, frames, reps, cfg)
 
 
 def _run_bench_batched_pairs(frames: int, reps: int, safe: bool = False) -> float:
@@ -185,10 +307,13 @@ def _run_bench_batched_pairs(frames: int, reps: int, safe: bool = False) -> floa
         )
         return traj
 
+    cfg = f"batched_pairs frames={frames} reps={reps} safe={safe}"
+    _STATE["stage"] = "warmup: " + cfg
     traj = run()
     _force(traj)
+    _STATE["stage"] = "gated: " + cfg
     _check_accuracy(traj, poses, frames)
-    return _timed(run, frames, reps)
+    return _timed(run, frames, reps, cfg)
 
 
 def _run_bench_scan_to_map(frames: int, reps: int, safe: bool = False) -> float:
@@ -222,10 +347,13 @@ def _run_bench_scan_to_map(frames: int, reps: int, safe: bool = False) -> float:
         )
         return traj
 
+    cfg = f"scan_to_map frames={frames} reps={reps} safe={safe}"
+    _STATE["stage"] = "warmup: " + cfg
     traj = run()
     _force(traj)
+    _STATE["stage"] = "gated: " + cfg
     _check_accuracy(traj, poses, frames)
-    return _timed(run, frames, reps)
+    return _timed(run, frames, reps, cfg)
 
 
 def _run_bench_dataset(frames: int, reps: int, safe: bool = False) -> float:
@@ -287,15 +415,19 @@ def _run_bench_dataset(frames: int, reps: int, safe: bool = False) -> float:
         )
         return traj
 
+    cfg = f"dataset frames={frames} reps={reps} safe={safe}"
+    _STATE["stage"] = "warmup: " + cfg
     traj = run()
     _force(traj)
+    _STATE["stage"] = "gated: " + cfg
     if poses is not None:
         _check_accuracy(traj, poses, frames)
-    return _timed(run, frames, reps)
+    return _timed(run, frames, reps, cfg)
 
 
 def main():
     mode = os.environ.get("LOAM_BENCH_MODE", "scan_to_scan")
+    _STATE["mode"] = mode
     frames = int(os.environ.get("LOAM_BENCH_FRAMES", "64"))
     reps = int(os.environ.get("LOAM_BENCH_REPS", "3"))
     # chunk=4: measured optimum on v5e with correct features (r3 sweep:
@@ -306,11 +438,30 @@ def main():
     backend = os.environ.get("LOAM_BENCH_BACKEND", "bruteforce")
     motion_init = os.environ.get("LOAM_BENCH_MOTION_INIT", "1") != "0"
 
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    _STATE["stage"] = "canary"
+    try:
+        _STATE["canary_ms"] = _run_canary()
+    except Exception as e:
+        print(f"# canary failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     scans_per_sec = None
     safe = os.environ.get("LOAM_BENCH_SAFE", "0") == "1"
     if safe:
         _apply_safe_mode()
     while True:
+        # Half-deadline downgrade: if earlier attempts (or a glacial canary/
+        # compile that DID eventually return) ate half the budget with no
+        # measurement banked, drop to the cheapest honest config so at least
+        # one real number lands before the watchdog fires.
+        if _STATE["value"] is None and _elapsed() > _deadline() / 2 and (
+            frames > 6 or reps > 1
+        ):
+            frames, reps = min(frames, 6), 1
+            print(f"# half-deadline reached with no measurement; "
+                  f"downgrading to frames={frames} reps={reps}",
+                  file=sys.stderr)
         try:
             if mode == "scan_to_map":
                 scans_per_sec = _run_bench_scan_to_map(frames, reps, safe)
@@ -338,22 +489,8 @@ def main():
             print(f"# bench failed ({type(e).__name__}); retrying at "
                   f"{frames} frames", file=sys.stderr)
 
-    baseline = 1000.0 / 16.5  # reference: 3.5 ms extract + 13 ms register
-    metric = {
-        "scan_to_map": "e2e_scan_to_map_throughput",
-        "batched_pairs": "batched_pair_registration_throughput",
-        "dataset": "file_fed_odometry_throughput",
-    }.get(mode, "e2e_odometry_throughput")
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(scans_per_sec, 2),
-                "unit": "scans/s/chip (64x1024 Ouster-64 scans)",
-                "vs_baseline": round(scans_per_sec / baseline, 2),
-            }
-        )
-    )
+    _emit(scans_per_sec, _STATE["config"] or
+          f"frames={frames} reps={reps} safe={safe}")
 
 
 if __name__ == "__main__":
