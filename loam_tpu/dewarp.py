@@ -27,15 +27,24 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .geometry import Pose3, quat_conjugate, quat_exp, quat_log, quat_rotate
+from .geometry import (
+    Pose3,
+    quat_conjugate,
+    quat_exp,
+    quat_log,
+    quat_rotate,
+    se3_exp,
+    se3_log,
+)
 from .params import LidarParams
 
 
-@functools.partial(jax.jit, static_argnames=("lidar",))
+@functools.partial(jax.jit, static_argnames=("lidar", "exact"))
 def dewarp_scan(
     scan: jax.Array,
     begin_T_end: Pose3,
     lidar: LidarParams,
+    exact: bool = False,
 ) -> jax.Array:
     """Motion-compensate a scan into its end-of-sweep frame.
 
@@ -43,6 +52,16 @@ def dewarp_scan(
       scan: (L, P, 3) or (L*P, 3) range-image scan (sensor frame, as swept).
       begin_T_end: sensor motion over this sweep (e.g. the previous frame's
         registered relative pose for a constant-velocity prediction).
+      exact: interpolation law for the per-column pose. False (default):
+        rotation by ``Exp(beta * log R)`` but translation LINEARLY as
+        ``beta * t`` — a deliberate approximation whose error is
+        ``(V(beta*w) * V(w)^{-1} - beta I) t``, zero for pure translation or
+        pure rotation and bounded by ~``theta * |t| / 4`` mixed (sub-mm for
+        typical 10 Hz motion; measured e2e-neutral, so it stays default).
+        True: exact constant-twist screw ``Exp(beta * se3_log(motion))``
+        with the V-matrix translation (``geometry.se3_exp``) — the true
+        trajectory of a sensor moving at constant body velocity; use for
+        aggressive motion (fast yaw + long translation per sweep).
 
     Returns: dewarped scan, same shape as the input.
     """
@@ -51,16 +70,26 @@ def dewarp_scan(
     pts = scan.reshape(L, P, 3)
     dtype = pts.dtype
 
-    xi_rot = quat_log(begin_T_end.rotation.astype(dtype))  # (3,)
-    xi_t = begin_T_end.translation.astype(dtype)  # (3,)
-
     # column c captured at pose(alpha) = Exp(alpha * xi); express in the end
-    # frame: p' = pose(1)^{-1} pose(alpha) . p  = Exp(-(1) xi)...; use
-    # beta = alpha - 1 in [-1, 0]: rel = Exp(beta * xi) approximately (screw)
+    # frame: p' = pose(1)^{-1} pose(alpha) . p; use beta = alpha - 1 in
+    # [-1, 0]: rel = Exp(beta * xi) (exact for constant twist; see docstring
+    # for the default path's translation approximation)
     alpha = (jnp.arange(P, dtype=dtype) + 0.5) / P  # (P,)
     beta = alpha - 1.0
-    q = quat_exp(beta[:, None] * xi_rot[None, :])  # (P, 4)
-    t = beta[:, None] * xi_t[None, :]  # (P, 3)
+    if exact:
+        motion = Pose3(
+            begin_T_end.rotation.astype(dtype),
+            begin_T_end.translation.astype(dtype),
+        )
+        xi = se3_log(motion)  # (6,)
+        rel = se3_exp(beta[:, None] * xi[None, :])
+        q = rel.rotation  # (P, 4)
+        t = rel.translation  # (P, 3)
+    else:
+        xi_rot = quat_log(begin_T_end.rotation.astype(dtype))  # (3,)
+        xi_t = begin_T_end.translation.astype(dtype)  # (3,)
+        q = quat_exp(beta[:, None] * xi_rot[None, :])  # (P, 4)
+        t = beta[:, None] * xi_t[None, :]  # (P, 3)
 
     # points of column c: p' = R(beta_c) p + t(beta_c), broadcast over lines
     rotated = quat_rotate(q[None, :, :], pts)  # (L, P, 3)

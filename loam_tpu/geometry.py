@@ -127,6 +127,57 @@ def quat_angular_distance(q1: jax.Array, q2: jax.Array) -> jax.Array:
     return 2.0 * jnp.arctan2(un, jnp.abs(d[..., 0]))
 
 
+def _so3_V_apply(rotvec: jax.Array, v: jax.Array, inverse: bool) -> jax.Array:
+    """Apply the SO(3) left-Jacobian ``V`` (or its inverse) to ``v``.
+
+    ``V = I + (1-cos t)/t^2 [w]x + (t - sin t)/t^3 [w]x^2`` links the SE(3)
+    exponential's translation to the twist: ``Exp(w, u).t = V(w) u``.
+    Closed form via two cross products (no 3x3 materialization); Taylor
+    guards below t^2 = 1e-8 keep f32/f64 stable at small angles.
+    """
+    t2 = jnp.sum(rotvec * rotvec, axis=-1, keepdims=True)
+    t = jnp.sqrt(t2)
+    small = t2 < 1e-8
+    safe_t2 = jnp.where(small, 1.0, t2)
+    if not inverse:
+        # a = (1-cos t)/t^2, b = (t - sin t)/t^3
+        a = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(t)) / safe_t2)
+        b = jnp.where(
+            small, 1.0 / 6.0 - t2 / 120.0, (t - jnp.sin(t)) / (safe_t2 * jnp.where(small, 1.0, t))
+        )
+    else:
+        # V^-1 = I - 1/2 [w]x + c [w]x^2,
+        # c = 1/t^2 - (1 + cos t)/(2 t sin t)   (-> 1/12 + t^2/720 + ...)
+        a = jnp.asarray(-0.5, rotvec.dtype) * jnp.ones_like(t2)
+        s = jnp.sin(t)
+        safe = jnp.where(small | (jnp.abs(s) < 1e-12), 1.0, 2.0 * t * s)
+        c = 1.0 / safe_t2 - (1.0 + jnp.cos(t)) / safe
+        b = jnp.where(small, 1.0 / 12.0 + t2 / 720.0, c)
+    w_cross_v = jnp.cross(rotvec, v)
+    w_cross2_v = jnp.cross(rotvec, w_cross_v)
+    return v + a * w_cross_v + b * w_cross2_v
+
+
+def se3_exp(xi: jax.Array) -> "Pose3":
+    """SE(3) exponential: twist ``xi = (w, u)`` (..., 6) -> Pose3.
+
+    Exact screw motion: rotation ``Exp(w)``, translation ``V(w) u`` — the
+    V-matrix form the cheap dewarp interpolation omits (``dewarp.py``);
+    ``se3_exp(a*xi)`` traces the true constant-twist trajectory for any
+    fraction ``a``.
+    """
+    w = xi[..., :3]
+    u = xi[..., 3:]
+    return Pose3(quat_exp(w), _so3_V_apply(w, u, inverse=False))
+
+
+def se3_log(pose: "Pose3") -> jax.Array:
+    """SE(3) logarithm: Pose3 -> twist (..., 6), inverse of :func:`se3_exp`."""
+    w = quat_log(pose.rotation)
+    u = _so3_V_apply(w, pose.translation, inverse=True)
+    return jnp.concatenate([w, u], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Pose3 (pytree)
 # ---------------------------------------------------------------------------

@@ -2,6 +2,7 @@
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from loam_tpu import LidarParams, extract_features, register_features
@@ -78,3 +79,64 @@ def test_dewarp_improves_registration():
     e_dewarped = err(np.asarray(dewarp_scan(jnp.asarray(warped), delta, LIDAR)))
     assert e_dewarped < e_warped
     assert e_dewarped < 0.02, (e_warped, e_dewarped)
+
+
+def test_se3_exp_log_roundtrip_and_interpolation():
+    """geometry.se3_exp/se3_log: inverse pair + the constant-twist
+    composition law Exp(a xi) o Exp(b xi) = Exp((a+b) xi)."""
+    from loam_tpu.geometry import se3_exp, se3_log, quat_angular_distance
+
+    rng = np.random.default_rng(9)
+    for _ in range(10):
+        xi = jnp.asarray(
+            np.concatenate([rng.normal(size=3) * 0.7, rng.normal(size=3) * 2.0]),
+            jnp.float64,
+        )
+        pose = se3_exp(xi)
+        np.testing.assert_allclose(np.asarray(se3_log(pose)), np.asarray(xi),
+                                   atol=1e-12)
+        a, b = 0.3, 0.45
+        lhs = se3_exp(a * xi).compose(se3_exp(b * xi))
+        rhs = se3_exp((a + b) * xi)
+        assert float(quat_angular_distance(lhs.rotation, rhs.rotation)) < 1e-12
+        np.testing.assert_allclose(np.asarray(lhs.translation),
+                                   np.asarray(rhs.translation), atol=1e-12)
+
+
+def test_dewarp_exact_matches_composed_ground_truth_aggressive_motion():
+    """exact=True recovers the END frame to f32 noise under a fast-yaw +
+    long-translation constant twist where the default linear-translation
+    law is centimeters off (the acknowledged approximation, dewarp.py)."""
+    from loam_tpu.geometry import se3_exp
+
+    L, P = LIDAR.scan_lines, LIDAR.points_per_line
+    rng = np.random.default_rng(4)
+    world = rng.uniform(-15, 15, size=(L, P, 3)).astype(np.float32)
+    world[..., 2] = rng.uniform(0.2, 3.0, size=(L, P))  # keep off the origin
+
+    # aggressive per-sweep motion: 0.8 rad yaw + [2.0, 0.5, 0.3] m twist
+    xi = jnp.asarray([0.0, 0.0, 0.8, 2.0, 0.5, 0.3], jnp.float32)
+    alpha = (np.arange(P) + 0.5) / P
+    T_c = se3_exp(jnp.asarray(alpha, jnp.float32)[:, None] * xi[None, :])
+    T_end = se3_exp(xi)
+
+    # warped scan: column c's points in column c's instantaneous frame
+    warped = np.asarray(
+        jax.vmap(lambda Tc, pc: Tc.inverse().act(pc), in_axes=(0, 1),
+                 out_axes=1)(T_c, jnp.asarray(world))
+    )
+    gt_end = np.asarray(T_end.inverse().act(jnp.asarray(world)))
+
+    begin_T_end = Pose3(T_end.rotation, T_end.translation)
+    out_exact = np.asarray(
+        dewarp_scan(jnp.asarray(warped), begin_T_end, LIDAR, exact=True)
+    )
+    out_cheap = np.asarray(
+        dewarp_scan(jnp.asarray(warped), begin_T_end, LIDAR)
+    )
+    err_exact = np.linalg.norm(out_exact - gt_end, axis=-1)
+    err_cheap = np.linalg.norm(out_cheap - gt_end, axis=-1)
+    assert err_exact.max() < 1e-4, err_exact.max()
+    # the linear-translation approximation is visibly off at this motion
+    assert err_cheap.max() > 0.05
+    assert err_exact.max() < err_cheap.max() / 100
