@@ -154,15 +154,6 @@ def bitonic_network_1d(arrays: Sequence[jax.Array], num_keys: int, n: int):
     return tuple(arrays)
 
 
-def _sort_1d_kernel(*refs, num_arrays: int, num_keys: int, n: int):
-    in_refs = refs[:num_arrays]
-    out_refs = refs[num_arrays:]
-    vals = [r[...] for r in in_refs]
-    out = bitonic_network_1d(vals, num_keys, n)
-    for r, v in zip(out_refs, out):
-        r[...] = v
-
-
 def bitonic_sort_1d(
     arrays: Sequence[jax.Array], num_keys: int, impl: str = "auto"
 ) -> Tuple[jax.Array, ...]:
@@ -173,6 +164,13 @@ def bitonic_sort_1d(
     Pads n to a power of two (>= 1024 so the 2-D layout is full): +inf in a
     floating first key, int32 max in an integer first key, zeros elsewhere;
     padding sorts to the end and is sliced off.
+
+    Runs the XLA form of the network only (``impl`` retained for call-site
+    compatibility): the round-2/3 single-launch Pallas wrapper never
+    lowered on the v5e runtime (Mosaic rejected its lane rotations — the
+    failure in the round-3 hardware battery log) and was auto-off dead
+    weight, pruned in round 4 per the measured verdict that non-kNN ICF
+    work is not on the critical path.
     """
     n = arrays[0].shape[0]
     n_pad = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 10)
@@ -193,29 +191,7 @@ def bitonic_sort_1d(
     # lane-major 2-D layout: linear i -> (row i % R, lane i // R)
     r = n_pad // 128
     arrs2 = [x.reshape(128, r).T for x in padded]
-
-    if impl == "auto":
-        from .knn_pallas import pallas_supported
-
-        impl = (
-            "pallas"
-            if (pallas_supported() and not _INTERPRET and _f32_safe(arrs2))
-            else "xla"
-        )
-    if impl == "pallas":
-        kern = functools.partial(
-            _sort_1d_kernel,
-            num_arrays=len(arrs2), num_keys=num_keys, n=n_pad,
-        )
-        out = pl.pallas_call(
-            kern,
-            out_shape=[
-                jax.ShapeDtypeStruct((r, 128), x.dtype) for x in arrs2
-            ],
-            interpret=_INTERPRET,
-        )(*arrs2)
-    else:
-        out = bitonic_network_1d(arrs2, num_keys, n_pad)
+    out = bitonic_network_1d(arrs2, num_keys, n_pad)
     return tuple(x.T.reshape(n_pad)[:n] for x in out)
 
 

@@ -129,7 +129,7 @@ def _knn_kernel(
     *refs,
     k: int, tt: int, use_list: bool, with_coords: bool = False,
     init_v: float = float("inf"), n_sub: int = 1, with_bound: bool = False,
-    count_visits: bool = False,
+    count_visits: bool = False, slab: int = 0,
 ):
     """Top-k body with ADAPTIVE culling (see knn_run for the jit-level half).
 
@@ -154,6 +154,16 @@ def _knn_kernel(
     visit-order invariant — identical to XLA ``topk_min``'s ascending
     (distance, first-index) semantics.
     """
+    if slab:
+        # (n_tiles, 1) SMEM: first chunk of this tile's SLOT-ALIGNED SLAB —
+        # ``slab`` consecutive chunks visited UNCONDITIONALLY before the
+        # gated tail loop (see knn_run). Azimuth-co-sorted query/target sets
+        # put ~all true neighbors in the slab, so the running k-th tightens
+        # to ~its final value there and the tail gate prunes nearly every
+        # remaining visit. Exactness: slab visits only ADD candidate
+        # evaluations; tail chunks keep the sound bbox gate; the merge is
+        # visit-order invariant.
+        slab_ref, *refs = refs
     if with_bound:
         # (1, TQ) per-query UPPER bound on the k-th smallest d^2, from seed
         # candidates recomputed at the jit level (see seed_bound helpers).
@@ -205,7 +215,9 @@ def _knn_kernel(
         lo = s * sw
         off = c * tt
         if count_visits:
-            vcount_ref[0, 0] = vcount_ref[0, 0] + 1
+            # whole-row add: Mosaic rejects scalar VMEM stores; every column
+            # carries the same count, readers take column 0
+            vcount_ref[...] = vcount_ref[...] + 1
         t = t_ref[:, pl.ds(off, tt)]  # (3, TT)
         # invalid target slots carry +3e37 sentinel coordinates (knn_prep),
         # so their squared distances overflow to +inf with no separate
@@ -316,6 +328,11 @@ def _knn_kernel(
 
         return carry
 
+    if slab:
+        c0 = slab_ref[tile, 0]
+        for s_off in range(slab):
+            for s in range(n_sub):
+                chunk_work(c0 + s_off, s)
     if use_list:
         lax.fori_loop(0, cnt_ref[tile, 0], visit, jnp.int32(0))
     else:
@@ -552,6 +569,7 @@ def knn_run(
     query_mask: jax.Array = None,
     seed_bound: jax.Array = None,
     return_visits: bool = False,
+    slab_chunks: int = 0,
 ):
     """Query-side half of :func:`knn_pallas` against prebuilt targets.
 
@@ -576,6 +594,18 @@ def knn_run(
     lb > bound >= d_e >= lb), so results are EXACTLY unchanged — a tight
     bound only removes visits. Results never copy seed values: stale or
     loose bounds cost time, never correctness.
+
+    ``slab_chunks``: visit that many SLOT-ALIGNED target chunks per query
+    tile UNCONDITIONALLY (ungated), excluding them from the gated tail
+    list. For azimuth-co-sorted query/target sets (the ICF scan-to-scan
+    workload: consecutive frames place corresponding returns at nearly
+    equal sorted ranks) the slab holds ~all true neighbors, so the running
+    k-th tightens there and the tail gate then prunes nearly every
+    remaining visit — round-4 profiling showed per-visit control overhead
+    (gate evals + fori_loop + dynamic slices), not element math, dominates
+    this kernel. Purely a visit-schedule change: results are exactly those
+    of ``slab_chunks=0`` for ANY input ordering (misaligned orderings just
+    waste the slab visits). Requires ``max_dist > 0``.
     """
     from ..neighbors.bruteforce import KnnResult
 
@@ -608,9 +638,29 @@ def knn_run(
     # tail (see _knn_kernel; tie order does not affect outputs — the merge
     # breaks distance ties by global index).
     r2 = float(max_dist) ** 2 if max_dist > 0 else 0.0
+    slab = int(min(slab_chunks, n_chunks)) if r2 > 0 else 0
+    slab_arr = None
+    if slab:
+        # static slot-proportional slab starts: tile i's query slots map to
+        # the same sorted ranks of the target set; pure numpy (trace-time
+        # constants), zero runtime cost
+        import numpy as np
+
+        centers = (np.arange(n_tiles) * tq + tq / 2.0) / qpad * mpad
+        c0 = np.clip(
+            np.round((centers - slab * tt / 2.0) / tt),
+            0, n_chunks - slab,
+        ).astype(np.int32)
+        slab_arr = jnp.asarray(c0)[:, None]
+        cid = np.arange(n_chunks)
+        in_slab = (cid[None, :] >= c0[:, None]) & (
+            cid[None, :] < (c0 + slab)[:, None]
+        )  # (n_tiles, n_chunks) static
     if r2 > 0:
         sep2, nonempty = _tile_gaps(qlo, qhi, prep.rot, prep.rbox)
         active = (sep2 < jnp.asarray(r2, dtype)) & nonempty[:, None]
+        if slab:
+            active = active & jnp.asarray(~in_slab)
         lst, cnt = _pack_active_lists(active, sep2)
     else:
         lst = jnp.zeros((n_tiles, n_chunks), jnp.int32)
@@ -646,6 +696,11 @@ def knn_run(
         ),
     ]
     operands = [qT, prep.tT, prep.rot, prep.rbox, cnt, lst]
+    if slab:
+        in_specs.append(
+            pl.BlockSpec((n_tiles, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+        operands.append(slab_arr)
     if seed_bound is not None:
         # pad value 0.0 closes the gate for pad slots outright (their
         # sentinel queries would skip anyway)
@@ -671,6 +726,7 @@ def knn_run(
             _knn_kernel, k=k, tt=tt, use_list=r2 > 0, with_coords=with_coords,
             init_v=r2 if r2 > 0 else float("inf"), n_sub=n_sub,
             with_bound=seed_bound is not None, count_visits=return_visits,
+            slab=slab,
         ),
         grid=grid,
         in_specs=in_specs,

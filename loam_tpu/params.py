@@ -198,11 +198,12 @@ class RegistrationParams:
     #: m^2) keeps those components at the motion prior while perturbing
     #: well-observed solves by <1%.
     prior_weight: float = 0.0
-    #: Implementation of the inner LM solve — "auto" (single Pallas kernel
-    #: on a real TPU backend: all sweeps, reductions, the 6x6 Cholesky and
-    #: accept/reject logic in one VMEM-resident launch; XLA op-chain
-    #: elsewhere), "xla", or "pallas". Same step semantics; reduction order
-    #: differs (f32 ulp-level divergence only). Hardware A/B knob.
+    #: Implementation of the inner LM solve. Both values take the XLA
+    #: op-chain path (one residual sweep per damped step, unrolled 6x6
+    #: Cholesky): the round-2/3 single-launch Pallas kernel lost its
+    #: hardware A/B and was pruned in round 4 (the stage decomposition put
+    #: all non-kNN ICF work at ~5% of the iteration body). Field retained
+    #: for config compatibility.
     lm_impl: str = "auto"
     #: Neighbor-search backend: "bruteforce" (exact MXU distance matrices,
     #: best for feature-set-sized targets) or "grid" (voxel-hash, best for
@@ -213,7 +214,7 @@ class RegistrationParams:
 
     def __post_init__(self):
         for field, allowed in (
-            ("lm_impl", ("auto", "xla", "pallas")),
+            ("lm_impl", ("auto", "xla")),
             ("search_backend", ("bruteforce", "grid")),
         ):
             if getattr(self, field) not in allowed:

@@ -59,29 +59,12 @@ def _angle_from_identity(q: jax.Array) -> jax.Array:
 
 
 def _stable_sort_1d(operands, num_keys: int):
-    """Stable multi-operand 1-D sort: ``lax.sort(is_stable=True)`` or the
-    VMEM bitonic kernel (``ops/bitonic.py``) with an internal slot-index
-    tie-break key — the same total order, so outputs are identical.
+    """Stable multi-operand 1-D sort via ``lax.sort(is_stable=True)``.
 
-    ``LOAM_FEATURE_SORT`` picks lax|bitonic|auto at trace time (auto =
-    bitonic kernel on a real TPU backend). A/B scripts must
-    ``jax.clear_caches()`` between arms — the env var is not a jit key.
+    (A VMEM bitonic-kernel alternative existed through round 3 but never
+    lowered on the v5e runtime and measured no faster as an XLA network;
+    pruned in round 4 — ``ops/bitonic.py`` keeps only the network form.)
     """
-    mode = os.environ.get("LOAM_FEATURE_SORT", "auto")
-    if mode == "auto":
-        # the 1-D lane-major bitonic kernel does not lower on the current
-        # v5e runtime (Mosaic rejects its lane rotations); auto stays on
-        # lax.sort until a runtime that compiles it measures faster
-        mode = "lax"
-    if mode == "bitonic":
-        from ..ops.bitonic import bitonic_sort_1d
-
-        iota = jnp.arange(operands[0].shape[0], dtype=jnp.int32)
-        out = bitonic_sort_1d(
-            tuple(operands[:num_keys]) + (iota,) + tuple(operands[num_keys:]),
-            num_keys=num_keys + 1,
-        )
-        return out[:num_keys] + out[num_keys + 1:]
     return lax.sort(tuple(operands), num_keys=num_keys, is_stable=True)
 
 
@@ -369,6 +352,14 @@ def _register_impl(
         e_prep = knn_prep(target.edge_points, target.edge_mask)
         p_prep = knn_prep(target.planar_points, target.planar_mask)
 
+        # Slot-aligned unconditional slab (ops/knn_pallas.py knn_run): for
+        # azimuth-co-sorted sets the slab holds ~all true neighbors, so the
+        # gated tail prunes to ~nothing — round-4 hardware A/B: 2.5x on the
+        # planar search at scan scale. Exact for ANY ordering (misaligned
+        # sets only waste the slab visits), so it stays on even when the
+        # caller skipped azimuth sorting. LOAM_KNN_SLAB overrides (0 = off).
+        slab = int(os.environ.get("LOAM_KNN_SLAB", "2"))
+
         def edge_knn(q, bound=None):
             # with_coords: the kernel hands back neighbor coordinates in
             # packed layout — association fits run gather- and
@@ -379,6 +370,7 @@ def _register_impl(
                 e_prep, q, params.num_edge_neighbors,
                 params.max_edge_neighbor_dist, with_coords=True,
                 query_mask=source.edge_mask, seed_bound=bound,
+                slab_chunks=slab,
             ), None
 
         def plane_knn(q, bound=None):
@@ -386,6 +378,7 @@ def _register_impl(
                 p_prep, q, params.num_plane_neighbors,
                 params.max_plane_neighbor_dist, with_coords=True,
                 query_mask=source.planar_mask, seed_bound=bound,
+                slab_chunks=slab,
             ), None
 
         # Seed-bound machinery: slot-aligned cold candidates (hoisted) +

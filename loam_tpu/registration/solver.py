@@ -192,19 +192,12 @@ def lm_solve(
 
     Returns (delta, final_cost).
     """
-    impl = params.lm_impl
-    if impl == "auto":
-        # hardware A/B 2026-08: the single-launch LM kernel compiles on
-        # v5e (after two-step scalar broadcasts) but the XLA path — one
-        # residual sweep per step, unrolled Cholesky — measured faster
-        # e2e; auto stays on xla. lm_impl="pallas" remains for sweeps
-        # (f32 problems only — the kernel is f32-only).
-        impl = "xla"
-    if impl == "pallas":
-        from ..ops.lm_pallas import lm_solve_pallas
-
-        return lm_solve_pallas(problem, params)
-
+    # a single-launch Pallas LM kernel existed through round 3 (lm_impl=
+    # "pallas") but lost its hardware A/B to this XLA path and was pruned
+    # in round 4: the round-4 stage decomposition measured ALL non-kNN ICF
+    # work (this solver included) at ~5% of the iteration body, so a fused
+    # kernel had no headroom to win. lm_impl is retained ("auto"/"xla")
+    # for config compatibility; both take this path.
     dtype = problem.pts_edge.dtype
     delta0 = Pose3.identity(dtype)
     lam0 = jnp.asarray(1e-4, dtype)

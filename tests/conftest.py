@@ -58,13 +58,6 @@ _SLOW = {
     "test_features.py::TestOracleParity::test_full_extraction_matches_oracle[default-0]",
     "test_icf_oracle.py::test_icf_loop_matches_oracle_converged",
     "test_knn_pallas.py::test_packed_association_matches_gathered",
-    "test_lm_pallas.py::test_invalid_rows_ignored",
-    "test_lm_pallas.py::test_kernel_inside_full_icf_loop",
-    "test_lm_pallas.py::test_kernel_matches_xla_solver[0.0-0.0]",
-    "test_lm_pallas.py::test_kernel_matches_xla_solver[0.01-0.0]",
-    "test_lm_pallas.py::test_kernel_matches_xla_solver[0.01-50.0]",
-    "test_lm_pallas.py::test_kernel_recovers_ground_truth",
-    "test_lm_pallas.py::test_kernel_under_vmap",
     "test_loop_closure.py::test_end_to_end_loop_closure",
     "test_loop_closure.py::test_wrong_minimum_closure_rejected",
     "test_map.py::test_insert_bitonic_impl_exact_equality",
