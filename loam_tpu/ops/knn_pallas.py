@@ -640,27 +640,26 @@ def knn_run(
     r2 = float(max_dist) ** 2 if max_dist > 0 else 0.0
     slab = int(min(slab_chunks, n_chunks)) if r2 > 0 else 0
     slab_arr = None
-    if slab:
-        # static slot-proportional slab starts: tile i's query slots map to
-        # the same sorted ranks of the target set; pure numpy (trace-time
-        # constants), zero runtime cost
-        import numpy as np
-
-        centers = (np.arange(n_tiles) * tq + tq / 2.0) / qpad * mpad
-        c0 = np.clip(
-            np.round((centers - slab * tt / 2.0) / tt),
-            0, n_chunks - slab,
-        ).astype(np.int32)
-        slab_arr = jnp.asarray(c0)[:, None]
-        cid = np.arange(n_chunks)
-        in_slab = (cid[None, :] >= c0[:, None]) & (
-            cid[None, :] < (c0 + slab)[:, None]
-        )  # (n_tiles, n_chunks) static
     if r2 > 0:
         sep2, nonempty = _tile_gaps(qlo, qhi, prep.rot, prep.rbox)
         active = (sep2 < jnp.asarray(r2, dtype)) & nonempty[:, None]
         if slab:
-            active = active & jnp.asarray(~in_slab)
+            # dynamic slab starts: the run of ``slab`` chunks around the
+            # chunk NEAREST the tile's query box (argmin of the already-
+            # computed box separations — one tiny (T, C) reduction). Works
+            # for any co-coherent ordering: azimuth-sorted scan pairs AND
+            # Morton-sorted scan-vs-map, where slot-proportional alignment
+            # would point nowhere.
+            c0 = jnp.clip(
+                jnp.argmin(sep2, axis=1).astype(jnp.int32) - slab // 2,
+                0, n_chunks - slab,
+            )
+            slab_arr = c0[:, None]
+            cid = jnp.arange(n_chunks, dtype=jnp.int32)
+            in_slab = (cid[None, :] >= c0[:, None]) & (
+                cid[None, :] < (c0 + slab)[:, None]
+            )
+            active = active & ~in_slab
         lst, cnt = _pack_active_lists(active, sep2)
     else:
         lst = jnp.zeros((n_tiles, n_chunks), jnp.int32)

@@ -352,13 +352,15 @@ def _register_impl(
         e_prep = knn_prep(target.edge_points, target.edge_mask)
         p_prep = knn_prep(target.planar_points, target.planar_mask)
 
-        # Slot-aligned unconditional slab (ops/knn_pallas.py knn_run): for
-        # azimuth-co-sorted sets the slab holds ~all true neighbors, so the
-        # gated tail prunes to ~nothing — round-4 hardware A/B: 2.5x on the
-        # planar search at scan scale. Exact for ANY ordering (misaligned
-        # sets only waste the slab visits), so it stays on even when the
-        # caller skipped azimuth sorting. LOAM_KNN_SLAB overrides (0 = off).
-        slab = int(os.environ.get("LOAM_KNN_SLAB", "2"))
+        # Slot-aligned unconditional slab (ops/knn_pallas.py knn_run).
+        # Round-4 hardware A/Bs: wins 40% in-loop on COLD queries (raw
+        # 0.08 m-offset frames, 0.50 -> 0.30 ms/pair/iter) but LOSES e2e
+        # (455-467 -> 400-443 scans/s over interleaved repeated arms,
+        # seeds on or off): with motion-prior-aligned queries the gated
+        # path is already near its floor and the slab's ungated works are
+        # pure addition. Default off; LOAM_KNN_SLAB=N enables for cold /
+        # unaligned search workloads (results exactly equal either way).
+        slab = int(os.environ.get("LOAM_KNN_SLAB", "0"))
 
         def edge_knn(q, bound=None):
             # with_coords: the kernel hands back neighbor coordinates in
