@@ -643,6 +643,24 @@ def knn_run(
     if r2 > 0:
         sep2, nonempty = _tile_gaps(qlo, qhi, prep.rot, prep.rbox)
         active = (sep2 < jnp.asarray(r2, dtype)) & nonempty[:, None]
+        if seed_bound is not None and os.environ.get(
+            "LOAM_KNN_LIST_PRUNE", "1"
+        ) != "0":
+            # LIST-level pruning from the seed bounds: the in-kernel gate
+            # visits chunk c for query i only when lb_i(c) <= min(kth_i,
+            # bound_i) <= min(r2, bound_i); since lb_i >= sep2(tile, c), a
+            # chunk with sep2 > max_i min(bound_i, r2) (max over the tile's
+            # real queries; pad/masked slots contribute 0) would be skipped
+            # by the gate for EVERY query — dropping it from the list is
+            # exact and removes the per-visit gate evaluation itself, the
+            # measured floor of the e2e regime where warm-start bounds
+            # leave almost no chunk actually improving.
+            qb = jnp.minimum(seed_bound.astype(dtype), jnp.asarray(r2, dtype))
+            if query_mask is not None:
+                qb = jnp.where(query_mask, qb, 0.0)
+            qb = jnp.pad(qb, (0, qpad - Q))
+            tile_bound = jnp.max(qb.reshape(n_tiles, tq), axis=1)
+            active = active & (sep2 <= tile_bound[:, None])
         if slab:
             # dynamic slab starts: the run of ``slab`` chunks around the
             # chunk NEAREST the tile's query box (argmin of the already-
