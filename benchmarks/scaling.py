@@ -30,11 +30,13 @@ def run(n_devices, scans, lidar, feat_params, reg_params, reps=3):
 
     mesh = make_mesh(jax.devices()[:n_devices], line_axis=1)
 
+    from loam_tpu.profiling import force
+
     def once():
         traj, _ = odometry_offline_sharded(
             scans, lidar, mesh, feat_params, reg_params
         )
-        jax.block_until_ready(traj)
+        force(traj)  # block_until_ready is unreliable on the axon backend
 
     once()  # compile
     t0 = time.perf_counter()
@@ -69,6 +71,17 @@ def main():
     scans = jnp.asarray(scans)
 
     tp1 = run(1, scans, lidar, feat_params, reg_params)
+    if n == 1:
+        # one device: there is no scaling to measure; report throughput
+        # only rather than a noise-ratio "efficiency"
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "devices": 1,
+            "throughput_1dev": round(tp1, 2),
+            "value": None,
+            "unit": "fraction of linear scaling (needs >1 device)",
+        }))
+        return
     tpn = run(n, scans, lidar, feat_params, reg_params)
     eff = tpn / (n * tp1)
     print(
