@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -24,7 +25,7 @@ from ..geometry import Pose3, quat_multiply, quat_conjugate
 from ..map import VoxelMap, voxel_map_empty, voxel_map_insert
 from ..params import FeatureExtractionParams, LidarParams, RegistrationParams
 from ..registration import RegistrationDetail
-from ..registration.icf import _register, spatial_sort_features
+from ..registration.icf import _register, _register_impl, spatial_sort_features
 from ..dewarp import dewarp_scan
 
 
@@ -57,6 +58,39 @@ class ScanToMapState(NamedTuple):
     prev_delta: Pose3
     world_T_keyframe: Pose3
     frames_since_insert: jax.Array  # int32; -1 means "no keyframe yet"
+    #: kNN target-side prep arrays for the Pallas backend, rebuilt ONLY on
+    #: keyframe inserts (the map is otherwise unchanged, so re-padding /
+    #: transposing / boxing ~164k map slots every frame was pure waste):
+    #: (tT_e, rot_e, rbox_e, tT_p, rot_p, rbox_p), or () when the Pallas
+    #: path is inactive (non-TPU backend / non-f32). Round-4 addition.
+    knn_prep_cache: tuple = ()
+
+
+def _use_prep_cache(dtype) -> bool:
+    """Whether to carry rebuild-on-insert kNN prep arrays in the state.
+
+    Round-4 hardware A/B (interleaved arms, device_time): cache-on 1.85-1.88
+    vs cache-off 1.80 ms/scan — the per-frame prep over the map capacity is
+    NOT a meaningful cost (XLA's loop-invariant motion and the insert-cond
+    already bound it), while the carried arrays add while-loop state
+    traffic. Default off; LOAM_S2M_PREP_CACHE=1 enables (exactness covered
+    by tests/test_odometry.py::test_scan_to_map_prep_cache_path_matches_uncached).
+    """
+    from ..ops.knn_pallas import pallas_supported
+
+    return (
+        os.environ.get("LOAM_S2M_PREP_CACHE", "0") == "1"
+        and pallas_supported()
+        and dtype == jnp.float32
+    )
+
+
+def _build_prep_cache(edge_map: VoxelMap, planar_map: VoxelMap) -> tuple:
+    from ..ops.knn_pallas import knn_prep
+
+    e = knn_prep(edge_map.points, edge_map.mask)
+    p = knn_prep(planar_map.points, planar_map.mask)
+    return (e.tT, e.rot, e.rbox, p.tT, p.rot, p.rbox)
 
 
 def scan_to_map_init(
@@ -64,17 +98,23 @@ def scan_to_map_init(
     origin=(0.0, 0.0, 0.0),
     dtype=jnp.float32,
 ) -> ScanToMapState:
+    edge_map = voxel_map_empty(
+        config.edge_capacity, config.edge_voxel_size, origin, dtype
+    )
+    planar_map = voxel_map_empty(
+        config.planar_capacity, config.planar_voxel_size, origin, dtype
+    )
     return ScanToMapState(
-        edge_map=voxel_map_empty(
-            config.edge_capacity, config.edge_voxel_size, origin, dtype
-        ),
-        planar_map=voxel_map_empty(
-            config.planar_capacity, config.planar_voxel_size, origin, dtype
-        ),
+        edge_map=edge_map,
+        planar_map=planar_map,
         world_T_current=Pose3.identity(dtype),
         prev_delta=Pose3.identity(dtype),
         world_T_keyframe=Pose3.identity(dtype),
         frames_since_insert=jnp.int32(-1),
+        knn_prep_cache=(
+            _build_prep_cache(edge_map, planar_map)
+            if _use_prep_cache(dtype) else ()
+        ),
     )
 
 
@@ -160,10 +200,54 @@ def scan_to_map_step_features(
     target = _map_feature_set(state.edge_map, state.planar_map)
     # the source is pre-sorted (Morton); the voxel map's Morton-key-sorted
     # storage is spatially compact, so no reordering inside the registration
-    world_T_new, detail = _register(
-        feats, target, init, reg_params, with_matches=False,
-        reorder_mode="none",
-    )
+    custom_knn = None
+    if (
+        state.knn_prep_cache
+        and reg_params.search_backend == "bruteforce"
+        and reg_params.max_edge_neighbor_dist > 0
+        and reg_params.max_plane_neighbor_dist > 0
+        and _use_prep_cache(dtype)
+        and os.environ.get("LOAM_DISABLE_PALLAS", "0") != "1"
+    ):
+        # Rebuild-on-insert kNN target prep: the search targets are the
+        # voxel maps, which change ONLY on keyframe inserts — the carried
+        # prep arrays make every non-keyframe frame skip the pad/transpose/
+        # chunk-box work over the full map capacity that the in-register
+        # path would redo (the reference builds its KD-trees per call on an
+        # immutable target, registration-inl.h:20-23; here the prep is the
+        # analogous build, hoisted across frames).
+        from ..ops.knn_pallas import TargetPrep, default_tt, knn_run
+
+        tT_e, rot_e, rbox_e, tT_p, rot_p, rbox_p = state.knn_prep_cache
+        Me = state.edge_map.points.shape[0]
+        Mp = state.planar_map.points.shape[0]
+        e_prep = TargetPrep(tT_e, rot_e, rbox_e, Me, default_tt(Me))
+        p_prep = TargetPrep(tT_p, rot_p, rbox_p, Mp, default_tt(Mp))
+        custom_knn = (
+            lambda q: (knn_run(
+                e_prep, q, reg_params.num_edge_neighbors,
+                reg_params.max_edge_neighbor_dist, with_coords=True,
+                query_mask=feats.edge_mask,
+            ), None),
+            lambda q: (knn_run(
+                p_prep, q, reg_params.num_plane_neighbors,
+                reg_params.max_plane_neighbor_dist, with_coords=True,
+                query_mask=feats.planar_mask,
+            ), None),
+        )
+    if custom_knn is not None:
+        # closures cannot cross _register's jit boundary; this whole step
+        # is already jitted, so call the unjitted body directly (the same
+        # entry the distributed layer uses for its sharded-search hook)
+        world_T_new, detail = _register_impl(
+            feats, target, init, reg_params, with_matches=False,
+            reorder_mode="none", custom_knn=custom_knn,
+        )
+    else:
+        world_T_new, detail = _register(
+            feats, target, init, reg_params, with_matches=False,
+            reorder_mode="none",
+        )
     # First frame (empty map): registration bails with the init pose; make
     # that the identity start rather than the (identity-composed) prior.
     first = state.frames_since_insert < 0
@@ -183,8 +267,8 @@ def scan_to_map_step_features(
     )
     insert = first | (dist > config.keyframe_dist) | (angle > config.keyframe_angle)
 
-    def do_insert(maps):
-        edge_map, planar_map = maps
+    def do_insert(carry):
+        edge_map, planar_map, _ = carry
         ew = world_T_new.act(feats.edge_points)
         pw = world_T_new.act(feats.planar_points)
         center = world_T_new.translation
@@ -194,10 +278,16 @@ def scan_to_map_step_features(
         planar_map, _ = voxel_map_insert(
             planar_map, pw, feats.planar_mask, center, config.keep_radius
         )
-        return edge_map, planar_map
+        # the kNN prep arrays mirror the maps: rebuild ONLY here
+        cache = (
+            _build_prep_cache(edge_map, planar_map)
+            if state.knn_prep_cache else ()
+        )
+        return edge_map, planar_map, cache
 
-    edge_map, planar_map = lax.cond(
-        insert, do_insert, lambda m: m, (state.edge_map, state.planar_map)
+    edge_map, planar_map, prep_cache = lax.cond(
+        insert, do_insert, lambda c: c,
+        (state.edge_map, state.planar_map, state.knn_prep_cache),
     )
 
     prev_delta = state.world_T_current.inverse().compose(world_T_new).normalize()
@@ -212,6 +302,7 @@ def scan_to_map_step_features(
         frames_since_insert=jnp.where(
             insert, 0, jnp.maximum(state.frames_since_insert, 0) + 1
         ).astype(jnp.int32),
+        knn_prep_cache=prep_cache,
     )
     return new_state, world_T_new, detail
 

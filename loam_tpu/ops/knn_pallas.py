@@ -31,6 +31,13 @@ _TQ = os.environ.get("LOAM_KNN_TQ")
 _TT = os.environ.get("LOAM_KNN_TT")
 
 
+def default_tt(m: int) -> int:
+    """Chunk length knn_prep uses for an m-point target (env override or
+    per-scale auto) — callers reconstructing a TargetPrep from carried
+    arrays must use THIS, not _auto_tiles directly, to stay consistent."""
+    return int(_TT or _auto_tiles(m)[1])
+
+
 def _auto_tiles(m: int) -> tuple:
     """Measured v5e optimum (round-3 trace sweeps on CORRECT features —
     earlier sweeps ran on the miscompiled batched-extraction workload).

@@ -5,6 +5,7 @@ for the small noiseless/low-noise synthetic world (tighter than the BASELINE
 ATE target, looser than registration unit tolerances).
 """
 
+import os
 import numpy as np
 import pytest
 
@@ -188,3 +189,38 @@ def test_scan_to_map_offline_matches_streaming(trajectory):
     np.testing.assert_array_equal(
         np.asarray(fstate.edge_map.mask), np.asarray(state.edge_map.mask)
     )
+
+
+def test_scan_to_map_prep_cache_path_matches_uncached(trajectory, monkeypatch):
+    """The rebuild-on-insert kNN prep cache (round 4) must be a pure
+    restructuring: trajectories and maps exactly equal the uncached Pallas
+    path (kernel in interpret mode on CPU)."""
+    import jax
+
+    from loam_tpu import scan_to_map_offline
+    from loam_tpu.odometry import scan_to_map as s2m
+
+    scans, gt = trajectory
+    cfg = s2m.ScanToMapConfig(edge_capacity=2048, planar_capacity=8192)
+    reg = RegistrationParams(search_backend="bruteforce", prior_weight=300.0)
+
+    import importlib
+
+    kp = importlib.import_module("loam_tpu.ops.knn_pallas")
+    outs = {}
+    for arm, active in (("cached", True), ("plain", False)):
+        jax.clear_caches()
+        monkeypatch.setattr(s2m, "_use_prep_cache", lambda dtype: active)
+        monkeypatch.setattr(kp, "pallas_supported", lambda: True)
+        state, traj, details = scan_to_map_offline(
+            jnp.asarray(scans), LIDAR, reg_params=reg, config=cfg
+        )
+        outs[arm] = (
+            np.asarray(traj.translation),
+            np.asarray(state.edge_map.mask),
+            np.asarray(state.planar_map.mask),
+        )
+        assert (state.knn_prep_cache != ()) == active
+    np.testing.assert_array_equal(outs["cached"][0], outs["plain"][0])
+    np.testing.assert_array_equal(outs["cached"][1], outs["plain"][1])
+    np.testing.assert_array_equal(outs["cached"][2], outs["plain"][2])
