@@ -104,10 +104,12 @@ def _watchdog():
             if _STATE["emitted"]:
                 return
         if _elapsed() >= deadline - 5.0:
-            v = _STATE["value"]
-            stage = _STATE["stage"]
+            with _STATE["lock"]:  # value+config must come from one _record
+                v = _STATE["value"]
+                stage = _STATE["stage"]
+                cfg = _STATE["config"]
             if v is not None:
-                _emit(v, _STATE["config"] + f"; watchdog@{stage}")
+                _emit(v, cfg + f"; watchdog@{stage}")
             else:
                 # No measurement completed: value 0 is the honest statement
                 # that this session produced none, but the artifact parses.
@@ -221,9 +223,11 @@ def _timed(run, frames: int, reps: int, config: str = "") -> float:
     t0 = time.perf_counter()
     _force(run())
     quick = frames / (time.perf_counter() - t0)
-    _record(quick, config + "; reps=1 (partial)")
     if reps <= 1:
+        # reps=1 is the intended final config here, not a watchdog partial
+        _record(quick, config)
         return quick
+    _record(quick, config + "; reps=1 (partial)")
     t0 = time.perf_counter()
     out = None
     for _ in range(reps):

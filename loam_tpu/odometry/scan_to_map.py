@@ -70,11 +70,14 @@ def _use_prep_cache(dtype) -> bool:
     """Whether to carry rebuild-on-insert kNN prep arrays in the state.
 
     Round-4 hardware A/B (interleaved arms, device_time): cache-on 1.85-1.88
-    vs cache-off 1.80 ms/scan — the per-frame prep over the map capacity is
-    NOT a meaningful cost (XLA's loop-invariant motion and the insert-cond
-    already bound it), while the carried arrays add while-loop state
-    traffic. Default off; LOAM_S2M_PREP_CACHE=1 enables (exactness covered
-    by tests/test_odometry.py::test_scan_to_map_prep_cache_path_matches_uncached).
+    vs cache-off 1.80 ms/scan. CAVEAT on that A/B: the custom_knn hook this
+    path feeds skips the registration loop's seed-bound machinery (window +
+    warm-start bounds and their list pruning only exist on the in-register
+    Pallas branch), so the comparison is (prep savings - seed losses), not
+    the prep cache in isolation — a fair test would thread bounds through
+    custom_knn. Until someone does that and measures a win, the default
+    stays off; LOAM_S2M_PREP_CACHE=1 enables (exactness covered by
+    tests/test_odometry.py::test_scan_to_map_prep_cache_path_matches_uncached).
     """
     from ..ops.knn_pallas import pallas_supported
 

@@ -155,7 +155,7 @@ def bitonic_network_1d(arrays: Sequence[jax.Array], num_keys: int, n: int):
 
 
 def bitonic_sort_1d(
-    arrays: Sequence[jax.Array], num_keys: int, impl: str = "auto"
+    arrays: Sequence[jax.Array], num_keys: int
 ) -> Tuple[jax.Array, ...]:
     """Sort flat (n,) arrays ascending-lexicographically by the first
     ``num_keys``; remaining arrays carried. Unstable network — include a
@@ -165,10 +165,9 @@ def bitonic_sort_1d(
     floating first key, int32 max in an integer first key, zeros elsewhere;
     padding sorts to the end and is sliced off.
 
-    Runs the XLA form of the network only (``impl`` retained for call-site
-    compatibility): the round-2/3 single-launch Pallas wrapper never
-    lowered on the v5e runtime (Mosaic rejected its lane rotations — the
-    failure in the round-3 hardware battery log) and was auto-off dead
+    XLA network form only: the round-2/3 single-launch Pallas wrapper
+    never lowered on the v5e runtime (Mosaic rejected its lane rotations —
+    the failure in the round-3 hardware battery log) and was auto-off dead
     weight, pruned in round 4 per the measured verdict that non-kNN ICF
     work is not on the critical path.
     """

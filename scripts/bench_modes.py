@@ -32,9 +32,15 @@ def main():
                 timeout=float(deadline) + 60,
             )
             line = [l for l in r.stdout.splitlines() if l.startswith("{")]
-            out[mode] = json.loads(line[-1]) if line else {
-                "error": f"rc={r.returncode}", "stderr": r.stderr[-400:],
-            }
+            try:
+                out[mode] = json.loads(line[-1]) if line else {
+                    "error": f"rc={r.returncode}", "stderr": r.stderr[-400:],
+                }
+            except (json.JSONDecodeError, IndexError) as e:
+                # a crashed subprocess can truncate its line mid-print; the
+                # artifact must still be written with the other modes
+                out[mode] = {"error": f"unparseable output ({e})",
+                             "raw": line[-1][:200] if line else ""}
         except subprocess.TimeoutExpired:
             out[mode] = {"error": "timeout"}
         print(f"{mode}: {json.dumps(out[mode])}", flush=True)

@@ -40,11 +40,9 @@ _SLOW = {
     "test_assemble.py::test_extraction_assemble_impl_equality",
     "test_associate_oracle.py::test_edge_association_guards_match_oracle",
     "test_bitonic.py::test_extraction_bitonic_sector_sort_exact_equality",
-    "test_bitonic.py::test_feature_sort_bitonic_mode_matches_lax",
     "test_bitonic.py::test_pallas_interpret_matches_xla_path",
     "test_bitonic.py::test_sort_1d_float_keys_with_inf",
     "test_bitonic.py::test_sort_1d_matches_stable_sort",
-    "test_bitonic.py::test_sort_1d_pallas_interpret_small",
     "test_checkpoint.py::test_roundtrip_scan_to_map_state",
     "test_compat.py::test_readme_flow",
     "test_debug.py::test_registration_guards_scrub_poisoned_point",

@@ -27,7 +27,7 @@ def test_matches_stable_sort_with_index_tiebreak(n, b):
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, b))
     payload = jnp.asarray(rng.standard_normal((n, b)).astype(np.float32))
 
-    got = bitonic_sort((keys, idx, payload), num_keys=2, impl="xla")
+    got = bitonic_sort((keys, idx, payload), num_keys=2)
     want = _stable_ref((keys, idx, payload), num_keys=2)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
@@ -69,7 +69,7 @@ def test_internal_padding_to_power_of_two():
     n, b = 179, 12
     keys = jnp.asarray(rng.standard_normal((n, b)).astype(np.float32))
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, b))
-    got = bitonic_sort((keys, idx), num_keys=2, impl="xla")
+    got = bitonic_sort((keys, idx), num_keys=2)
     want = _stable_ref((keys, idx), num_keys=2)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
@@ -123,7 +123,7 @@ def test_sort_1d_matches_stable_sort():
         keys = jnp.asarray(rng.integers(0, 50, (n,)).astype(np.int32))
         idx = jnp.arange(n, dtype=jnp.int32)
         pay = jnp.asarray(rng.standard_normal((n,)).astype(np.float32))
-        got = bitonic_sort_1d((keys, idx, pay), num_keys=2, impl="xla")
+        got = bitonic_sort_1d((keys, idx, pay), num_keys=2)
         want = lax.sort((keys, idx, pay), dimension=0, num_keys=2, is_stable=True)
         for g, w in zip(got, want):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
@@ -137,54 +137,13 @@ def test_sort_1d_float_keys_with_inf():
     keys = rng.standard_normal(n).astype(np.float32)
     keys[::7] = np.inf  # invalid slots sort last (pads are +inf too)
     idx = np.arange(n, dtype=np.int32)
-    got = bitonic_sort_1d((jnp.asarray(keys), jnp.asarray(idx)), num_keys=2, impl="xla")
+    got = bitonic_sort_1d((jnp.asarray(keys), jnp.asarray(idx)), num_keys=2)
     want = lax.sort((jnp.asarray(keys), jnp.asarray(idx)), dimension=0,
                     num_keys=2, is_stable=True)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
-def test_sort_1d_pallas_interpret_small(monkeypatch):
-    import loam_tpu.ops.bitonic as bt
-
-    monkeypatch.setattr(bt, "_INTERPRET", True)
-    rng = np.random.default_rng(7)
-    n = 1024  # minimum padded size; keeps interpret runtime sane
-    keys = jnp.asarray(rng.integers(0, 9, (n,)).astype(np.int32))
-    idx = jnp.arange(n, dtype=jnp.int32)
-    got = bt.bitonic_sort_1d((keys, idx), num_keys=2, impl="pallas")
-    want = lax.sort((keys, idx), dimension=0, num_keys=2, is_stable=True)
-    for g, w in zip(got, want):
-        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
-
-
-def test_feature_sort_bitonic_mode_matches_lax(monkeypatch):
-    """LOAM_FEATURE_SORT=bitonic reorders feature sets identically."""
-    from loam_tpu import LidarParams, extract_features
-    from loam_tpu.registration import icf
-
-    lidar = LidarParams(8, 128, 0.5, 80.0)
-    scan = jnp.asarray(
-        __import__("loam_tpu.io", fromlist=["render_scan"]).render_scan(
-            lidar, noise=0.01, seed=5, dtype=np.float32
-        )
-    )
-    fs = extract_features(scan, lidar)
-
-    def run(mode):
-        monkeypatch.setenv("LOAM_FEATURE_SORT", mode)
-        jax.clear_caches()  # env is read at trace time, not a jit key
-        az = icf.azimuth_sort_features(fs)
-        sp = icf.spatial_sort_features(fs)
-        azp = icf._azimuth_sort_with_perms(fs)
-        return az, sp, azp
-
-    a = run("lax")
-    b = run("bitonic")
-    for ga, gb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
-        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
-    monkeypatch.delenv("LOAM_FEATURE_SORT", raising=False)
-    jax.clear_caches()
 
 
 def test_sector_sort_raw_equality_including_dead_slots():
