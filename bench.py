@@ -189,13 +189,18 @@ def _check_accuracy(traj, poses, frames):
 
 
 def _apply_safe_mode():
-    """Retire the env-switched new kernels too (feature-reorder sorts, map
-    insert) — they read env at trace time, so clear jit caches to force the
-    safe retrace. The long-proven kNN kernel stays on."""
+    """Retire the env-switched kernels too (map insert) — they read env at
+    trace time, so clear jit caches to force the safe retrace. The
+    long-proven kNN kernel stays on.
+
+    LOAM_EXTRACT_BATCH=map: the safe-mode XLA fallback stages (gather
+    assemble, XLA greedy-NMS scan) MISCOMPILE under vmap on the current
+    TPU runtime (round-4 finding, scripts/extract_oracle_check.py);
+    lax.map batching keeps them oracle-exact."""
     import jax
 
-    os.environ["LOAM_FEATURE_SORT"] = "lax"
     os.environ["LOAM_MAP_INSERT"] = "scatter"
+    os.environ["LOAM_EXTRACT_BATCH"] = "map"
     jax.clear_caches()
 
 

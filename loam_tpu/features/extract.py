@@ -224,6 +224,41 @@ def extract_features(
     return extract_features_given(scan, curv, valid, lidar, params)
 
 
+def extract_features_batch(
+    scans: jax.Array,
+    lidar: LidarParams,
+    params: FeatureExtractionParams = FeatureExtractionParams(),
+    post=None,
+):
+    """Batch extraction over a leading frame axis, with a selectable
+    batching construct: ``LOAM_EXTRACT_BATCH`` = "vmap" (default) | "map".
+
+    Why the knob exists (round-4 hardware finding): on the current TPU
+    runtime the VMAPPED forms of the non-default XLA fallback stages
+    (gather assemble, XLA greedy-NMS scan) MISCOMPILE — garbage picks at
+    Ouster-64 batch scale, single-frame and CPU forms exact, production
+    kernel path (sector_sort=bitonic + feature_assemble=pallas +
+    greedy_nms=pallas) oracle-exact under vmap (scripts/
+    extract_oracle_check.py). ``lax.map`` compiles the single-frame program
+    per step and stays oracle-exact for every stage combination, so safe
+    mode (bench.py) batches with "map".
+
+    ``post``: optional per-frame post-transform (e.g. azimuth sorting)
+    fused into the same batched program.
+    """
+    import os as _os
+
+    from jax import lax as _lax
+
+    def one(s):
+        fs = extract_features(s, lidar, params)
+        return post(fs) if post is not None else fs
+
+    if _os.environ.get("LOAM_EXTRACT_BATCH", "vmap") == "map":
+        return _lax.map(one, scans)
+    return jax.vmap(one)(scans)
+
+
 @functools.partial(jax.jit, static_argnames=("lidar", "params"))
 def extract_features_given(
     scan: jax.Array,

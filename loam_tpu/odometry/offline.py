@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..features import extract_features
+from ..features import extract_features, extract_features_batch
 from ..geometry import Pose3, pose_cumcompose
 from ..params import FeatureExtractionParams, LidarParams, RegistrationParams
 from ..registration import RegistrationDetail
@@ -72,11 +72,15 @@ def odometry_offline(
       per-pair RegistrationDetail for the F-1 registrations.
     """
     F = scans.shape[0]
-    feats = jax.vmap(lambda s: extract_features(s, lidar, feat_params))(scans)
     # azimuth-sort each frame ONCE (it serves as both source and target of
     # consecutive pairs) so the kNN chunk culling sees coherent wedges
-    # without any per-pair sorting inside the registration loop
-    feats = jax.vmap(azimuth_sort_features)(feats)
+    # without any per-pair sorting inside the registration loop.
+    # extract_features_batch: vmap by default; LOAM_EXTRACT_BATCH=map for
+    # the safe-mode fallback stages (their vmapped forms miscompile on the
+    # current TPU runtime, see the helper's docstring)
+    feats = extract_features_batch(
+        scans, lidar, feat_params, post=azimuth_sort_features
+    )
     dtype = feats.edge_points.dtype
 
     src = jax.tree.map(lambda x: x[1:], feats)

@@ -365,9 +365,11 @@ def scan_to_map_offline(
 
     # Opt-in: batch extraction over ALL frames up front, leaving only the
     # map-dependent registration + insert in the sequential scan.
-    feats_all = jax.vmap(
-        lambda s: spatial_sort_features(extract_features(s, lidar, feat_params))
-    )(scans)
+    from ..features import extract_features_batch
+
+    feats_all = extract_features_batch(
+        scans, lidar, feat_params, post=spatial_sort_features
+    )
 
     def step_feats(state, feats):
         state, pose, detail = scan_to_map_step_features(

@@ -67,19 +67,37 @@ def main():
         for name, p in combos
     }
 
-    # correctness first: exact equality across combos
-    ref = None
+    # Correctness first — against the f64 NumPy ORACLE, not a peer combo:
+    # round 4 found the vmapped XLA fallback stages miscompile on this
+    # runtime (scripts/extract_oracle_check.py), so equality-to-baseline
+    # would silently bless two identically-wrong arms. Combos that fail the
+    # oracle are excluded from timing (their numbers would be meaningless).
+    from loam_tpu.oracle import oracle
+
+    scans_np = np.asarray(scans)
+    osets = []
+    for f in range(F):
+        e, pl_ = oracle.extract_features(
+            scans_np[f].astype(np.float64), lidar, FeatureExtractionParams()
+        )
+        osets.append((sorted(e), sorted(pl_)))
+    good = []
     for name, p in combos:
         fs = extract_jits[name](scans)
-        got = {f: np.asarray(getattr(fs, f)) for f in (
-            "edge_points", "edge_mask", "edge_indices",
-            "planar_points", "planar_mask", "planar_indices")}
-        if ref is None:
-            ref = got
-        else:
-            for f, v in got.items():
-                np.testing.assert_array_equal(v, ref[f], err_msg=f"{name}:{f}")
-    print("all combos exact-equal", flush=True)
+        ei = np.asarray(fs.edge_indices)
+        em = np.asarray(fs.edge_mask)
+        pi = np.asarray(fs.planar_indices)
+        pm = np.asarray(fs.planar_mask)
+        ok = all(
+            sorted(ei[f][em[f]].tolist()) == osets[f][0]
+            and sorted(pi[f][pm[f]].tolist()) == osets[f][1]
+            for f in range(F)
+        )
+        print(f"{name}: {'oracle-exact' if ok else 'WRONG (vmapped) - skipping timings'}",
+              flush=True)
+        if ok:
+            good.append((name, p))
+    combos = good
 
     for name, _p in combos:
         fn = extract_jits[name]
