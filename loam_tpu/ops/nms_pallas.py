@@ -186,12 +186,24 @@ def _greedy_nms_flat(
     ce_t = prep_cand(cand_e_all)
     cp_t = prep_cand(cand_p_all)
 
-    # per-sector serial bounds: candidates form a prefix of each slice (the
-    # threshold test is monotone in the sort key), so the loop only needs
-    # the max candidate count over lines
-    cnt_e = jnp.max(jnp.sum(cand_e_all >= 0, axis=-1, dtype=jnp.int32), axis=0)
-    cnt_p = jnp.max(jnp.sum(cand_p_all >= 0, axis=-1, dtype=jnp.int32), axis=0)
-    bnds = jnp.stack([cnt_e, cnt_p], axis=-1)  # (S, 2)
+    # Per-sector serial bounds: 1 + the LAST real-candidate position (max
+    # over lines), NOT the candidate count. The edge lists are REVERSED
+    # sorted slices, and in padded sectors the +inf padding slots (masked
+    # to -1) land at the FRONT of the reversal — real candidates start at
+    # offset (s_max - sector_size), so a count-based bound silently cut
+    # the final group when a padded sector held >= 5 candidates (round-4
+    # frame-16 bug: the weakest edge of 20 lines dropped; planars form a
+    # true prefix and were never affected). Position-based bounds are
+    # layout-robust for both classes; -1 entries inside the bound are
+    # visited as no-ops, exactly like the XLA path's masked visits.
+    pos1 = jnp.arange(1, s_max + 1, dtype=jnp.int32)[None, None, :]
+    bnd_e = jnp.max(
+        jnp.max(jnp.where(cand_e_all >= 0, pos1, 0), axis=-1), axis=0
+    )
+    bnd_p = jnp.max(
+        jnp.max(jnp.where(cand_p_all >= 0, pos1, 0), axis=-1), axis=0
+    )
+    bnds = jnp.stack([bnd_e, bnd_p], axis=-1)  # (S, 2)
 
     kern = functools.partial(
         _nms_kernel,

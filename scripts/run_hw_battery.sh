@@ -9,6 +9,8 @@ out="hw_battery_$(date +%H%M%S).log"
 {
   echo "== canary + bench scan_to_scan =="
   timeout 1200 python bench.py
+  echo "== extract oracle ground-truth check =="
+  timeout 3000 python scripts/extract_oracle_check.py
   echo "== extract_ab (sector sort / assemble / NMS kernels) =="
   timeout 3000 python scripts/extract_ab.py
   echo "== map_insert_ab (sort2 / scatter / bitonic-network inserts) =="

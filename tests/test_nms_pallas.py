@@ -97,3 +97,29 @@ def test_greedy_nms_kernel_remainder_sector():
         planar_feat_threshold=2.0,
     )
     _compare(lidar, params, seed=1)
+
+
+def test_padded_sector_edge_candidates_past_count_bound():
+    """Round-4 regression: in PADDED sectors the reversed edge candidate
+    lists carry (s_max - size) leading -1 slots, so a count-based serial
+    bound cut the final 8-group whenever a padded sector held a multiple-
+    of-8-boundary-crossing run (frame-16 bug: weakest edge of 20 lines
+    dropped). Hand-built candidates pin the exact condition: 2 leading -1
+    slots + 8 real candidates => the count bound (8) covers one group
+    (positions 0..7) and silently drops the candidate at position 9."""
+    from loam_tpu.ops.nms_pallas import greedy_nms
+
+    L, P, S, s_max = 1, 64, 2, 24
+    valid = jnp.ones((L, P), bool)
+    cand_e = np.full((L, S, s_max), -1, np.int32)
+    # sector 0: padded layout — 2 dead slots, then 8 real candidates
+    cand_e[0, 0, 2:10] = np.arange(10, 50, 5, dtype=np.int32)
+    cand_p = np.full((L, S, s_max), -1, np.int32)
+    ep, pp_ = greedy_nms(
+        valid, jnp.asarray(cand_e), jnp.asarray(cand_p),
+        max_e=12, max_p=12, n=1, pps=P // S, s_max=s_max,
+    )
+    got = np.asarray(ep)[0, 0]
+    got = sorted(got[got >= 0].tolist())
+    # n=1 => zero suppression halfwidth: every candidate must be accepted
+    assert got == list(range(10, 50, 5)), got
