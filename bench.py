@@ -367,23 +367,25 @@ def _run_bench_scan_to_map(frames: int, reps: int, safe: bool = False) -> float:
 
 def _run_bench_dataset(frames: int, reps: int, safe: bool = False) -> float:
     """File-fed odometry (the reference's usage model, README.md:44-60):
-    KITTI .bin files -> prefetching ScanLoader -> range-image projection ->
-    odometry_offline, timed INCLUDING the IO. ``LOAM_BENCH_DATASET`` points
-    at a directory of .bin/.pcd files; without it a synthetic trajectory is
-    written once to a temp dir (ground truth then gates accuracy too).
+    KITTI .bin files -> odometry, timed INCLUDING the IO.
+    ``LOAM_BENCH_DATASET`` points at a directory of .bin/.pcd files;
+    without it a synthetic trajectory is written once to a temp dir
+    (ground truth then gates accuracy too).
 
-    Remote-chip caveat: on this image's tunnel-attached TPU the number is
-    bound by the host->device upload of the scan batch (~24 MB at 32
-    frames), not by IO (native loader: ~4 ms/frame) or compute; on a local
-    TPU host the prefetching loader overlaps both."""
+    Round-5 rewrite (VERDICT r4 item 1): round 4 ran load-ALL / upload-ALL
+    / compute — serialized, and upload-bound at 0.8x baseline on the
+    tunnel-attached chip (~16-37 MB/s host->device for 50 MB of raw f32
+    xyz). Now ``odometry_streaming`` pipelines the three stages: native
+    prefetch loader threads read+project+PACK scans (4-byte/point wire
+    codec, io/packed.py, quantization below sensor noise), chunks upload
+    via async ``device_put`` and register in lockstep while the next chunk
+    is still being read. Knobs: LOAM_BENCH_STREAM_CHUNK (frames/chunk,
+    default 16), LOAM_BENCH_PACKED=0 to ship raw f32."""
     import glob
     import tempfile
 
-    import jax
-    import jax.numpy as jnp
-
-    from loam_tpu import LidarParams, odometry_offline
-    from loam_tpu.io import ScanLoader, render_trajectory
+    from loam_tpu import LidarParams, odometry_streaming
+    from loam_tpu.io import render_trajectory
 
     lidar = LidarParams(64, 1024, 0.5, 120.0)
     root = os.environ.get("LOAM_BENCH_DATASET")
@@ -413,18 +415,18 @@ def _run_bench_dataset(frames: int, reps: int, safe: bool = False) -> float:
 
     feat_params = _feat_params(safe)
     reg_params = _reg_params(safe)
+    chunk = int(os.environ.get("LOAM_BENCH_STREAM_CHUNK", "16"))
+    packed = os.environ.get("LOAM_BENCH_PACKED", "1") != "0"
 
     def run():
-        loader = ScanLoader(paths, lidar.scan_lines, lidar.points_per_line)
-        arr = jnp.asarray(np.stack(list(loader)))
-        loader.close()
-        traj, details = odometry_offline(
-            arr, lidar, feat_params, reg_params, chunk_pairs=4,
-            motion_init=True,
+        traj, details = odometry_streaming(
+            paths, lidar, feat_params, reg_params, chunk_frames=chunk,
+            packed=packed,
         )
         return traj
 
-    cfg = f"dataset frames={frames} reps={reps} safe={safe}"
+    cfg = (f"dataset frames={frames} reps={reps} chunk={chunk} "
+           f"packed={packed} safe={safe}")
     _STATE["stage"] = "warmup: " + cfg
     traj = run()
     _force(traj)

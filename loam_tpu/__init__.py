@@ -46,6 +46,7 @@ from .odometry import (
     ScanToMapState,
     ScanToScanState,
     odometry_offline,
+    odometry_streaming,
     scan_to_map_init,
     scan_to_map_offline,
     scan_to_map_step,
@@ -77,6 +78,7 @@ __all__ = [
     "VoxelMap",
     "knn",
     "odometry_offline",
+    "odometry_streaming",
     "scan_to_map_init",
     "scan_to_map_offline",
     "scan_to_map_step",

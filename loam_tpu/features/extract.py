@@ -224,39 +224,76 @@ def extract_features(
     return extract_features_given(scan, curv, valid, lidar, params)
 
 
+def _fallback_stage_engaged(
+    params: FeatureExtractionParams, dtype
+) -> bool:
+    """True if any extraction stage resolves to a non-default XLA fallback
+    impl (xla sector sort / gather assemble / xla greedy NMS) on a Pallas-
+    capable (TPU) backend — the configurations whose VMAPPED forms
+    miscompile on the current TPU runtime (see ``extract_features_batch``).
+    """
+    from ..ops.knn_pallas import pallas_supported
+
+    if not pallas_supported():
+        return False  # CPU/interpret forms are oracle-exact under vmap
+    sort = params.sector_sort
+    if sort == "auto":
+        sort = "bitonic" if dtype == jnp.float32 else "xla"
+    assemble = "pallas" if params.feature_assemble == "auto" else params.feature_assemble
+    nms = "pallas" if params.greedy_nms == "auto" else params.greedy_nms
+    return sort == "xla" or assemble == "gather" or nms == "xla"
+
+
 def extract_features_batch(
     scans: jax.Array,
     lidar: LidarParams,
     params: FeatureExtractionParams = FeatureExtractionParams(),
     post=None,
 ):
-    """Batch extraction over a leading frame axis, with a selectable
-    batching construct: ``LOAM_EXTRACT_BATCH`` = "vmap" (default) | "map".
+    """Batch extraction over a leading frame axis.
 
-    Why the knob exists (round-4 hardware finding): on the current TPU
-    runtime the VMAPPED forms of the non-default XLA fallback stages
-    (gather assemble, XLA greedy-NMS scan) MISCOMPILE — garbage picks at
-    Ouster-64 batch scale, single-frame and CPU forms exact, production
-    kernel path (sector_sort=bitonic + feature_assemble=pallas +
-    greedy_nms=pallas) oracle-exact under vmap (scripts/
-    extract_oracle_check.py). ``lax.map`` compiles the single-frame program
-    per step and stays oracle-exact for every stage combination, so safe
-    mode (bench.py) batches with "map".
+    Batching construct: ``jax.vmap`` by default, ``lax.map`` (the single-
+    frame program per step) when a known-unsafe configuration is detected
+    or forced via ``LOAM_EXTRACT_BATCH`` = "vmap" | "map".
+
+    Why (round-4 hardware finding, scripts/extract_oracle_check.py +
+    scripts/vmap_miscompile_repro.py): on the current TPU runtime the
+    VMAPPED forms of the non-default XLA fallback stages (xla sector sort,
+    gather assemble, XLA greedy-NMS scan) MISCOMPILE — garbage picks at
+    Ouster-64 batch scale — while single-frame, CPU, ``lax.map`` and the
+    production kernel path (bitonic + pallas assemble + pallas NMS, the
+    auto default) are all oracle-exact. Round 4 fenced this only in
+    bench.py's safe mode via the env knob; round 5 moves the fence HERE so
+    no public-API configuration on TPU can silently return wrong features:
+    when any stage resolves to a fallback impl on a TPU backend, batching
+    drops to ``lax.map`` automatically. ``LOAM_EXTRACT_BATCH=vmap``
+    overrides the fence (hardware A/Bs / re-testing future runtimes only).
 
     ``post``: optional per-frame post-transform (e.g. azimuth sorting)
     fused into the same batched program.
     """
-    import os as _os
-
     from jax import lax as _lax
 
     def one(s):
         fs = extract_features(s, lidar, params)
         return post(fs) if post is not None else fs
 
-    if _os.environ.get("LOAM_EXTRACT_BATCH", "vmap") == "map":
+    if _batch_construct(params, scans.dtype) == "map":
         return _lax.map(one, scans)
     return jax.vmap(one)(scans)
+
+
+def _batch_construct(params: FeatureExtractionParams, dtype) -> str:
+    """Resolve the batching construct for ``extract_features_batch``:
+    "vmap" unless the miscompile fence engages (or the env knob forces a
+    construct). Split out so tests can pin the decision without
+    intercepting jax internals."""
+    import os as _os
+
+    env = _os.environ.get("LOAM_EXTRACT_BATCH")
+    if env in ("map", "vmap"):
+        return env
+    return "map" if _fallback_stage_engaged(params, dtype) else "vmap"
 
 
 @functools.partial(jax.jit, static_argnames=("lidar", "params"))

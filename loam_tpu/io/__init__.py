@@ -13,13 +13,23 @@ from .native import (
     read_pcd,
     write_pcd,
 )
+from .packed import (
+    PACKED_R_MAX,
+    decode_packed,
+    encode_packed_grid,
+    project_packed_numpy,
+)
 from .synthetic import Box, default_world, render_scan, render_trajectory
 
 __all__ = [
     "Box",
+    "PACKED_R_MAX",
     "ScanLoader",
+    "decode_packed",
     "default_world",
+    "encode_packed_grid",
     "native_available",
+    "project_packed_numpy",
     "project_range_image",
     "read_kitti_bin",
     "read_pcd",

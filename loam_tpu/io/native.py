@@ -46,7 +46,9 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.loam_read_kitti_bin.restype = ctypes.c_int
             lib.loam_read_pcd.restype = ctypes.c_int
             lib.loam_loader_create.restype = ctypes.c_void_p
+            lib.loam_loader_create_ex.restype = ctypes.c_void_p
             lib.loam_loader_next.restype = ctypes.c_int
+            lib.loam_loader_next_raw.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _build_failed = True
@@ -204,9 +206,14 @@ def project_range_image(
 class ScanLoader:
     """Prefetching scan loader over a list of .bin / .pcd files.
 
-    Iterates (L, P, 3) float32 range-image scans in file order; native
-    worker threads read + project ahead of the consumer. Falls back to
-    synchronous NumPy loading without the native library.
+    Iterates range-image scans in file order; native worker threads read +
+    project ahead of the consumer. Falls back to synchronous NumPy loading
+    without the native library.
+
+    ``packed=False`` (default): yields (L, P, 3) float32 xyz grids.
+    ``packed=True``: yields (4, L, P) uint8 packed planes (the 4-byte/point
+    wire format of ``loam_tpu.io.packed`` — 3x fewer host->device bytes;
+    decode on device with ``decode_packed``).
     """
 
     def __init__(
@@ -219,9 +226,19 @@ class ScanLoader:
         max_raw_points: int = 1 << 21,
         n_threads: int = 2,
         queue_cap: int = 4,
+        packed: bool = False,
+        r_max: Optional[float] = None,
     ):
+        from .packed import PACKED_R_MAX
+
         self.paths: List[str] = list(paths)
-        self.shape = (scan_lines, points_per_line, 3)
+        self.packed = packed
+        self.r_max = PACKED_R_MAX if r_max is None else float(r_max)
+        self.shape = (
+            (4, scan_lines, points_per_line)
+            if packed
+            else (scan_lines, points_per_line, 3)
+        )
         self._args = (scan_lines, points_per_line, elev_lo, elev_hi, max_raw_points)
         self._handle = None
         lib = _load()
@@ -230,7 +247,7 @@ class ScanLoader:
                 *[p.encode() for p in self.paths]
             )
             self._keepalive = arr
-            self._handle = lib.loam_loader_create(
+            self._handle = lib.loam_loader_create_ex(
                 arr,
                 len(self.paths),
                 scan_lines,
@@ -240,6 +257,8 @@ class ScanLoader:
                 max_raw_points,
                 n_threads,
                 queue_cap,
+                1 if packed else 0,
+                ctypes.c_float(self.r_max),
             )
         self._pos = 0
 
@@ -249,10 +268,11 @@ class ScanLoader:
     def __next__(self) -> np.ndarray:
         lib = _load()
         if self._handle is not None and lib is not None:
-            out = np.empty(self.shape, np.float32)
-            idx = lib.loam_loader_next(
+            dt = np.uint8 if self.packed else np.float32
+            out = np.empty(self.shape, dt)
+            idx = lib.loam_loader_next_raw(
                 ctypes.c_void_p(self._handle),
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                out.ctypes.data_as(ctypes.c_void_p),
             )
             if idx < 0:
                 raise StopIteration
@@ -262,7 +282,13 @@ class ScanLoader:
         p = self.paths[self._pos]
         self._pos += 1
         pts = read_pcd(p) if p.endswith(".pcd") else read_kitti_bin(p)
-        L, P, _ = self.shape
+        L, P = self._args[0], self._args[1]
+        if self.packed:
+            from .packed import project_packed_numpy
+
+            return project_packed_numpy(
+                pts, L, P, *self._args[2:4], r_max=self.r_max
+            )
         return project_range_image(pts, L, P, *self._args[2:4])
 
     def close(self):

@@ -226,9 +226,72 @@ void loam_project_range_image(const float* pts, int n, int scan_lines,
 }
 
 // ---------------------------------------------------------------------------
+// Packed spherical projection: unordered cloud -> (4, L, P) uint8 planes
+// [r_lo, r_hi, az8, el8] — a 4-byte/point wire format for remote-attached
+// accelerators where host->device upload bandwidth, not compute, bounds
+// file-fed throughput (measured ~16-37 MB/s on this image's TPU tunnel vs
+// 12 B/pt raw xyz). Quantization is below LiDAR sensor noise:
+//   range:  uint16 r/r_max steps (r_max=131.07 m -> 2 mm)
+//   az:     offset within the 2*pi/P cell, 8 bits -> 1.2e-5 rad max error
+//   elev:   offset within the (hi-lo)/(L-1) cell, 8 bits -> 1.7e-5 rad
+// Empty cells are all-zero (range 0 => invalidated downstream, exactly like
+// the float path). Device-side decode: loam_tpu/io/packed.py (elementwise,
+// fuses into the extraction program).
+// ---------------------------------------------------------------------------
+void loam_project_packed(const float* pts, int n, int scan_lines,
+                         int points_per_line, float elev_lo, float elev_hi,
+                         float r_max, unsigned char* out /*4*L*P*/) {
+  const long total = (long)scan_lines * points_per_line;
+  std::memset(out, 0, (size_t)total * 4);
+  std::vector<float> best(total, 1e30f);
+  const float two_pi = 6.28318530717958647692f;
+  const float cell_h = (elev_hi - elev_lo) / (scan_lines - 1);
+  unsigned char* r_lo = out;
+  unsigned char* r_hi = out + total;
+  unsigned char* az8 = out + 2 * total;
+  unsigned char* el8 = out + 3 * total;
+  for (int i = 0; i < n; i++) {
+    const float x = pts[3 * i], y = pts[3 * i + 1], z = pts[3 * i + 2];
+    const float r2 = x * x + y * y + z * z;
+    if (r2 <= 1e-12f) continue;
+    const float rxy = std::sqrt(x * x + y * y);
+    const float elev = std::atan2(z, rxy);
+    float az = std::atan2(y, x);
+    if (az < 0) az += two_pi;
+    int row = (int)std::lround((elev - elev_lo) / (elev_hi - elev_lo) *
+                               (scan_lines - 1));
+    if (row < 0 || row >= scan_lines) continue;
+    int col = (int)(az / two_pi * points_per_line);
+    if (col >= points_per_line) col = points_per_line - 1;
+    const long cell = (long)row * points_per_line + col;
+    if (r2 >= best[cell]) continue;
+    best[cell] = r2;
+    const float r = std::sqrt(r2);
+    long rq = std::lround(r / r_max * 65535.0f);
+    if (rq < 0) rq = 0;
+    if (rq > 65535) rq = 65535;
+    // a real sub-min-range return must not quantize to the empty sentinel
+    if (rq == 0) rq = 1;
+    const float az_off = az - col * (two_pi / points_per_line);
+    int aq = (int)(az_off * points_per_line / two_pi * 256.0f);
+    if (aq < 0) aq = 0;
+    if (aq > 255) aq = 255;
+    const float el_off = elev - (elev_lo + row * cell_h);
+    int eq = (int)((el_off / cell_h + 0.5f) * 256.0f);
+    if (eq < 0) eq = 0;
+    if (eq > 255) eq = 255;
+    r_lo[cell] = (unsigned char)(rq & 0xff);
+    r_hi[cell] = (unsigned char)(rq >> 8);
+    az8[cell] = (unsigned char)aq;
+    el8[cell] = (unsigned char)eq;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Prefetching scan loader: worker threads read + project scans ahead of the
 // consumer into a bounded queue (classic host-side input pipeline; keeps the
-// accelerator fed). Files may be .bin (KITTI) or .pcd.
+// accelerator fed). Files may be .bin (KITTI) or .pcd. In packed mode the
+// workers emit the 4-byte/point wire format above instead of float xyz.
 // ---------------------------------------------------------------------------
 namespace {
 
@@ -238,10 +301,13 @@ struct Loader {
   float elev_lo, elev_hi;
   int max_raw_points;
   size_t frame_floats;
+  bool packed = false;
+  float r_max = 131.07f;
+  size_t frame_bytes;  // bytes per queued frame (float or packed)
 
   std::mutex mu;
   std::condition_variable cv_produce, cv_consume;
-  std::queue<std::pair<size_t, std::vector<float>>> ready;  // (index, grid)
+  std::queue<std::pair<size_t, std::vector<unsigned char>>> ready;  // (index, frame)
   size_t next_to_read = 0;    // next file index workers claim
   size_t next_to_emit = 0;    // next index the consumer expects
   size_t capacity;
@@ -264,10 +330,16 @@ struct Loader {
       } else {
         n = loam_read_kitti_bin(p.c_str(), raw.data(), max_raw_points);
       }
-      std::vector<float> grid(frame_floats);
+      std::vector<unsigned char> grid(frame_bytes, 0);
       if (n > 0) {
-        loam_project_range_image(raw.data(), n, scan_lines, points_per_line,
-                                 elev_lo, elev_hi, grid.data());
+        if (packed) {
+          loam_project_packed(raw.data(), n, scan_lines, points_per_line,
+                              elev_lo, elev_hi, r_max, grid.data());
+        } else {
+          loam_project_range_image(raw.data(), n, scan_lines, points_per_line,
+                                   elev_lo, elev_hi,
+                                   reinterpret_cast<float*>(grid.data()));
+        }
       }
       std::unique_lock<std::mutex> lk(mu);
       cv_produce.wait(lk, [&] {
@@ -283,9 +355,10 @@ struct Loader {
 
 }  // namespace
 
-void* loam_loader_create(const char** paths, int n_paths, int scan_lines,
-                         int points_per_line, float elev_lo, float elev_hi,
-                         int max_raw_points, int n_threads, int queue_cap) {
+void* loam_loader_create_ex(const char** paths, int n_paths, int scan_lines,
+                            int points_per_line, float elev_lo, float elev_hi,
+                            int max_raw_points, int n_threads, int queue_cap,
+                            int packed, float r_max) {
   auto* L = new Loader();
   for (int i = 0; i < n_paths; i++) L->paths.emplace_back(paths[i]);
   L->scan_lines = scan_lines;
@@ -294,15 +367,28 @@ void* loam_loader_create(const char** paths, int n_paths, int scan_lines,
   L->elev_hi = elev_hi;
   L->max_raw_points = max_raw_points;
   L->frame_floats = (size_t)scan_lines * points_per_line * 3;
+  L->packed = packed != 0;
+  L->r_max = r_max;
+  L->frame_bytes = L->packed ? (size_t)scan_lines * points_per_line * 4
+                             : L->frame_floats * sizeof(float);
   L->capacity = queue_cap > 0 ? queue_cap : 4;
   int nt = n_threads > 0 ? n_threads : 2;
   for (int i = 0; i < nt; i++) L->workers.emplace_back(&Loader::work, L);
   return L;
 }
 
-// Copies the next frame (in file order) into out; returns its index, or -1
+void* loam_loader_create(const char** paths, int n_paths, int scan_lines,
+                         int points_per_line, float elev_lo, float elev_hi,
+                         int max_raw_points, int n_threads, int queue_cap) {
+  return loam_loader_create_ex(paths, n_paths, scan_lines, points_per_line,
+                               elev_lo, elev_hi, max_raw_points, n_threads,
+                               queue_cap, 0, 131.07f);
+}
+
+// Copies the next frame (in file order) into out — float xyz grid or packed
+// u8 planes depending on the loader's mode; returns its index, or -1
 // when the stream is exhausted.
-int loam_loader_next(void* handle, float* out) {
+int loam_loader_next_raw(void* handle, void* out) {
   auto* L = (Loader*)handle;
   std::unique_lock<std::mutex> lk(L->mu);
   for (;;) {
@@ -315,8 +401,7 @@ int loam_loader_next(void* handle, float* out) {
         auto item = std::move(L->ready.front());
         L->ready.pop();
         if (item.first == L->next_to_emit) {
-          std::memcpy(out, item.second.data(),
-                      sizeof(float) * L->frame_floats);
+          std::memcpy(out, item.second.data(), L->frame_bytes);
           L->next_to_emit++;
           L->cv_produce.notify_all();
           return (int)item.first;
@@ -330,6 +415,10 @@ int loam_loader_next(void* handle, float* out) {
     L->cv_produce.notify_all();
     L->cv_consume.wait(lk);
   }
+}
+
+int loam_loader_next(void* handle, float* out) {
+  return loam_loader_next_raw(handle, out);
 }
 
 void loam_loader_destroy(void* handle) {

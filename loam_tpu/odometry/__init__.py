@@ -12,9 +12,17 @@ TPU-natively (SURVEY §3.4, BASELINE configs 2-4):
   * ``offline`` — batched whole-trajectory odometry: feature extraction
     vmapped over frames, all consecutive pairs registered in one batched
     solve, poses composed with an associative scan (log-depth, on device).
+  * ``streaming`` — file-fed odometry with IO, packed upload and compute
+    pipelined (the remote-accelerator form of the reference's file loop).
 """
 
 from .offline import odometry_offline
+from .streaming import (
+    StreamCarry,
+    odometry_streaming,
+    stream_chunk_step,
+    stream_init,
+)
 from .scan_to_map import (
     ScanToMapConfig,
     ScanToMapState,
@@ -30,7 +38,11 @@ __all__ = [
     "ScanToMapConfig",
     "ScanToMapState",
     "ScanToScanState",
+    "StreamCarry",
     "odometry_offline",
+    "odometry_streaming",
+    "stream_chunk_step",
+    "stream_init",
     "scan_to_map_init",
     "scan_to_map_offline",
     "scan_to_map_step",

@@ -61,8 +61,13 @@ class ScanToMapState(NamedTuple):
     #: kNN target-side prep arrays for the Pallas backend, rebuilt ONLY on
     #: keyframe inserts (the map is otherwise unchanged, so re-padding /
     #: transposing / boxing ~164k map slots every frame was pure waste):
-    #: (tT_e, rot_e, rbox_e, tT_p, rot_p, rbox_p), or () when the Pallas
-    #: path is inactive (non-TPU backend / non-f32). Round-4 addition.
+    #: (tT_e, rot_e, rbox_e, tT_p, rot_p, rbox_p, *edge_window(4),
+    #: *plane_window(4)) — the window tuples are the hoisted cold-seed
+    #: candidates (``ops.knn_pallas.window_candidates``), cached since
+    #: round 5 so the prep-cache path runs the SAME seed-bound machinery
+    #: as the in-register path (the round-4 A/B compared cache-without-
+    #: seeds against no-cache-with-seeds — confounded). () when the Pallas
+    #: path is inactive (non-TPU backend / non-f32).
     knn_prep_cache: tuple = ()
 
 
@@ -88,25 +93,48 @@ def _use_prep_cache(dtype) -> bool:
     )
 
 
-def _build_prep_cache(edge_map: VoxelMap, planar_map: VoxelMap) -> tuple:
-    from ..ops.knn_pallas import knn_prep
+def _build_prep_cache(
+    edge_map: VoxelMap,
+    planar_map: VoxelMap,
+    qe: Optional[int] = None,
+    qp: Optional[int] = None,
+) -> tuple:
+    """kNN target prep arrays (+ cold-seed windows when the query-side
+    capacities ``qe``/``qp`` are known) for the current maps. Rebuilt only
+    on keyframe inserts."""
+    from ..ops.knn_pallas import knn_prep, window_candidates
 
     e = knn_prep(edge_map.points, edge_map.mask)
     p = knn_prep(planar_map.points, planar_map.mask)
-    return (e.tT, e.rot, e.rbox, p.tT, p.rot, p.rbox)
+    base = (e.tT, e.rot, e.rbox, p.tT, p.rot, p.rbox)
+    if qe is None or qp is None:
+        return base
+    ew = window_candidates(edge_map.points, edge_map.mask, qe)
+    pw = window_candidates(planar_map.points, planar_map.mask, qp)
+    return base + ew + pw
 
 
 def scan_to_map_init(
     config: ScanToMapConfig = ScanToMapConfig(),
     origin=(0.0, 0.0, 0.0),
     dtype=jnp.float32,
+    lidar: Optional[LidarParams] = None,
+    feat_params: FeatureExtractionParams = FeatureExtractionParams(),
 ) -> ScanToMapState:
+    """Initial mapping state. Pass ``lidar`` (+ ``feat_params``) when the
+    prep cache is enabled so the cached cold-seed windows can be sized to
+    the scan-side feature capacities (without it the cache still hoists the
+    target prep, just not the seed windows)."""
     edge_map = voxel_map_empty(
         config.edge_capacity, config.edge_voxel_size, origin, dtype
     )
     planar_map = voxel_map_empty(
         config.planar_capacity, config.planar_voxel_size, origin, dtype
     )
+    qe = qp = None
+    if lidar is not None:
+        qe = feat_params.edge_capacity(lidar)
+        qp = feat_params.planar_capacity(lidar)
     return ScanToMapState(
         edge_map=edge_map,
         planar_map=planar_map,
@@ -115,7 +143,7 @@ def scan_to_map_init(
         world_T_keyframe=Pose3.identity(dtype),
         frames_since_insert=jnp.int32(-1),
         knn_prep_cache=(
-            _build_prep_cache(edge_map, planar_map)
+            _build_prep_cache(edge_map, planar_map, qe, qp)
             if _use_prep_cache(dtype) else ()
         ),
     )
@@ -218,25 +246,35 @@ def scan_to_map_step_features(
         # chunk-box work over the full map capacity that the in-register
         # path would redo (the reference builds its KD-trees per call on an
         # immutable target, registration-inl.h:20-23; here the prep is the
-        # analogous build, hoisted across frames).
+        # analogous build, hoisted across frames). Since round 5 the cache
+        # also carries the cold-seed windows, and the custom callables
+        # accept the per-iteration visit-gate bound — the exact seed-bound
+        # machinery of the in-register path (fair-A/B fix, VERDICT r4
+        # item 3).
         from ..ops.knn_pallas import TargetPrep, default_tt, knn_run
 
-        tT_e, rot_e, rbox_e, tT_p, rot_p, rbox_p = state.knn_prep_cache
+        cache = state.knn_prep_cache
+        tT_e, rot_e, rbox_e, tT_p, rot_p, rbox_p = cache[:6]
         Me = state.edge_map.points.shape[0]
         Mp = state.planar_map.points.shape[0]
         e_prep = TargetPrep(tT_e, rot_e, rbox_e, Me, default_tt(Me))
         p_prep = TargetPrep(tT_p, rot_p, rbox_p, Mp, default_tt(Mp))
+        seed_windows = (
+            (tuple(cache[6:10]), tuple(cache[10:14]))
+            if len(cache) == 14 else None
+        )
         custom_knn = (
-            lambda q: (knn_run(
+            lambda q, bound=None: (knn_run(
                 e_prep, q, reg_params.num_edge_neighbors,
                 reg_params.max_edge_neighbor_dist, with_coords=True,
-                query_mask=feats.edge_mask,
+                query_mask=feats.edge_mask, seed_bound=bound,
             ), None),
-            lambda q: (knn_run(
+            lambda q, bound=None: (knn_run(
                 p_prep, q, reg_params.num_plane_neighbors,
                 reg_params.max_plane_neighbor_dist, with_coords=True,
-                query_mask=feats.planar_mask,
+                query_mask=feats.planar_mask, seed_bound=bound,
             ), None),
+            seed_windows,
         )
     if custom_knn is not None:
         # closures cannot cross _register's jit boundary; this whole step
@@ -281,11 +319,17 @@ def scan_to_map_step_features(
         planar_map, _ = voxel_map_insert(
             planar_map, pw, feats.planar_mask, center, config.keep_radius
         )
-        # the kNN prep arrays mirror the maps: rebuild ONLY here
-        cache = (
-            _build_prep_cache(edge_map, planar_map)
-            if state.knn_prep_cache else ()
-        )
+        # the kNN prep arrays (+ seed windows) mirror the maps: rebuild
+        # ONLY here; mirror the incoming cache's shape (with/without
+        # windows) so the lax.cond branches stay pytree-consistent
+        if state.knn_prep_cache:
+            qe = qp = None
+            if len(state.knn_prep_cache) == 14:
+                qe = feats.edge_points.shape[0]
+                qp = feats.planar_points.shape[0]
+            cache = _build_prep_cache(edge_map, planar_map, qe, qp)
+        else:
+            cache = ()
         return edge_map, planar_map, cache
 
     edge_map, planar_map, prep_cache = lax.cond(
@@ -344,7 +388,10 @@ def scan_to_map_offline(
     """
     if reg_params is None:
         reg_params = default_map_reg_params()
-    state0 = scan_to_map_init(config) if init_state is None else init_state
+    state0 = (
+        scan_to_map_init(config, lidar=lidar, feat_params=feat_params)
+        if init_state is None else init_state
+    )
 
     if dewarp or not hoist_extraction:
         # In-loop extraction. Dewarping needs per-frame motion state, so it

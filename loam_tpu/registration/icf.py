@@ -232,11 +232,21 @@ def _register_impl(
 ) -> Tuple[Pose3, RegistrationDetail]:
     """Unjitted registration body.
 
-    ``custom_knn``: optional ``(edge_fn, plane_fn)`` where each callable maps
-    transformed query points ``(Q, 3)`` to ``(KnnResult, neighbor_pts)`` —
-    the hook the distributed layer uses to swap in the sharded-target search
-    (``parallel.distributed``) while keeping the full loop + detail
-    machinery.
+    ``custom_knn``: optional ``(edge_fn, plane_fn)`` or ``(edge_fn,
+    plane_fn, seed_windows)`` where each callable maps transformed query
+    points ``(Q, 3)`` to ``(KnnResult, neighbor_pts)`` — the hook the
+    distributed layer uses to swap in the sharded-target search
+    (``parallel.distributed``) and the scan-to-map driver uses for its
+    rebuild-on-insert prep cache, while keeping the full loop + detail
+    machinery. With the 3-element form, ``seed_windows`` is the
+    ``(edge, plane)`` pair of hoisted :func:`ops.knn_pallas.
+    window_candidates` tuples, the callables must additionally accept
+    ``bound=`` (a per-query squared-distance visit gate, forwarded as
+    ``knn_run(..., seed_bound=...)``), and must return packed coordinate
+    results (``with_coords=True``) so the warm-start carry can feed the
+    next iteration's bound — i.e. the custom search runs with the SAME
+    seed-bound machinery as the in-register Pallas path (round-5 fair-A/B
+    requirement, VERDICT r4 item 3).
     """
     dtype = source.edge_points.dtype
     E = source.edge_points.shape[0]
@@ -310,7 +320,13 @@ def _register_impl(
     )
     seed_windows = None
     if custom_knn is not None:
-        edge_knn, plane_knn = custom_knn
+        edge_knn, plane_knn = custom_knn[0], custom_knn[1]
+        if (
+            len(custom_knn) > 2
+            and custom_knn[2] is not None
+            and os.environ.get("LOAM_KNN_SEED", "1") != "0"
+        ):
+            seed_windows = custom_knn[2]
     elif use_grid:
         edge_grid = build_grid(
             target.edge_points, target.edge_mask, params.max_edge_neighbor_dist

@@ -99,6 +99,30 @@ def main():
         raise SystemExit(f"{failures} required-exact configurations WRONG")
     print("required-exact configurations all ORACLE-EXACT")
 
+    # Round-5 guard check: the PUBLIC batch API must be oracle-exact for
+    # every configuration — extract_features_batch auto-drops to lax.map
+    # when a fallback stage is engaged on a TPU backend
+    # (features/extract.py::_fallback_stage_engaged). A failure here means
+    # the library fence regressed, not (only) the runtime.
+    from loam_tpu.features.extract import (
+        _fallback_stage_engaged, extract_features_batch,
+    )
+
+    assert os.environ.get("LOAM_EXTRACT_BATCH") in (None, ""), \
+        "unset LOAM_EXTRACT_BATCH for the guard check"
+    for name, pp in combos:
+        fs = extract_features_batch(jscans, lidar, pp)
+        force(fs)
+        verdict = check(fs)
+        fenced = _fallback_stage_engaged(pp, jscans.dtype)
+        print(f"batch-api {name:26s} fence={'map' if fenced else 'vmap'} "
+              f"{verdict}", flush=True)
+        if verdict != "ORACLE-EXACT":
+            raise SystemExit(f"public batch API WRONG for {name} — "
+                             f"library fence failed")
+    print("public batch API ORACLE-EXACT for all configurations "
+          "(fence engaged where required)")
+
 
 if __name__ == "__main__":
     main()
