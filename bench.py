@@ -10,7 +10,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs:
   LOAM_BENCH_FRAMES   (default 64)  frames per timed batch
-  LOAM_BENCH_REPS     (default 3)   timed repetitions
+  LOAM_BENCH_REPS     (default 8)   timed repetitions. Round-5 probe
+                      (scripts/wall_device_probe.py): the wall-vs-device
+                      gap is a FIXED ~59 ms per measurement (final-barrier
+                      round trip + pipeline fill) with ~zero per-rep cost
+                      (host dispatch fully overlaps device compute), so
+                      more enqueued reps amortize it: reps=3 ran at 1.20x
+                      device_time, reps=8 at ~1.08x. Sustained-throughput
+                      semantics are unchanged (true barrier at the end).
   LOAM_BENCH_CHUNK    (default 4)   registration pairs per lockstep chunk
   LOAM_BENCH_BACKEND  (default "bruteforce") neighbor search backend
   LOAM_BENCH_DEADLINE (default 480) wall-clock budget in seconds; the JSON
@@ -243,6 +250,24 @@ def _timed(run, frames: int, reps: int, config: str = "") -> float:
     return val
 
 
+def _timed_median(run, frames: int, reps: int, config: str = "") -> float:
+    """Median of up to 3 _timed samples in THIS session (VERDICT r4 item 8:
+    one timed sample per round made cross-round trends noise-dominated).
+    All samples land in the config stamp next to the session canary; later
+    samples are skipped if the deadline approaches. The median is what's
+    reported."""
+    vals = []
+    for s in range(3):
+        if s > 0 and _elapsed() > _deadline() * 0.7:
+            break
+        vals.append(_timed(run, frames, reps, config))
+    med = float(sorted(vals)[len(vals) // 2])
+    _record(
+        med, config + "; samples=" + ",".join(f"{v:.1f}" for v in vals)
+    )
+    return med
+
+
 def _run_bench(
     frames: int, reps: int, backend: str, chunk: int, motion_init: bool,
     safe: bool = False,
@@ -283,7 +308,7 @@ def _run_bench(
     _STATE["stage"] = "gated: " + cfg
     _check_accuracy(traj, poses, frames)
 
-    return _timed(run, frames, reps, cfg)
+    return _timed_median(run, frames, reps, cfg)
 
 
 def _run_bench_batched_pairs(frames: int, reps: int, safe: bool = False) -> float:
@@ -322,7 +347,7 @@ def _run_bench_batched_pairs(frames: int, reps: int, safe: bool = False) -> floa
     _force(traj)
     _STATE["stage"] = "gated: " + cfg
     _check_accuracy(traj, poses, frames)
-    return _timed(run, frames, reps, cfg)
+    return _timed_median(run, frames, reps, cfg)
 
 
 def _run_bench_scan_to_map(frames: int, reps: int, safe: bool = False) -> float:
@@ -362,7 +387,7 @@ def _run_bench_scan_to_map(frames: int, reps: int, safe: bool = False) -> float:
     _force(traj)
     _STATE["stage"] = "gated: " + cfg
     _check_accuracy(traj, poses, frames)
-    return _timed(run, frames, reps, cfg)
+    return _timed_median(run, frames, reps, cfg)
 
 
 def _run_bench_dataset(frames: int, reps: int, safe: bool = False) -> float:
@@ -433,14 +458,14 @@ def _run_bench_dataset(frames: int, reps: int, safe: bool = False) -> float:
     _STATE["stage"] = "gated: " + cfg
     if poses is not None:
         _check_accuracy(traj, poses, frames)
-    return _timed(run, frames, reps, cfg)
+    return _timed_median(run, frames, reps, cfg)
 
 
 def main():
     mode = os.environ.get("LOAM_BENCH_MODE", "scan_to_scan")
     _STATE["mode"] = mode
     frames = int(os.environ.get("LOAM_BENCH_FRAMES", "64"))
-    reps = int(os.environ.get("LOAM_BENCH_REPS", "3"))
+    reps = int(os.environ.get("LOAM_BENCH_REPS", "8"))
     # chunk=4: measured optimum on v5e with correct features (r3 sweep:
     # 1 -> 330, 4 -> 347, 8 -> 330, 16 -> 307 scans/s) — with ~1 ICF
     # iteration per prior-initialized pair, lockstep has no tail and the

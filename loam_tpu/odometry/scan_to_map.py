@@ -74,20 +74,21 @@ class ScanToMapState(NamedTuple):
 def _use_prep_cache(dtype) -> bool:
     """Whether to carry rebuild-on-insert kNN prep arrays in the state.
 
-    Round-4 hardware A/B (interleaved arms, device_time): cache-on 1.85-1.88
-    vs cache-off 1.80 ms/scan. CAVEAT on that A/B: the custom_knn hook this
-    path feeds skips the registration loop's seed-bound machinery (window +
-    warm-start bounds and their list pruning only exist on the in-register
-    Pallas branch), so the comparison is (prep savings - seed losses), not
-    the prep cache in isolation — a fair test would thread bounds through
-    custom_knn. Until someone does that and measures a win, the default
-    stays off; LOAM_S2M_PREP_CACHE=1 enables (exactness covered by
-    tests/test_odometry.py::test_scan_to_map_prep_cache_path_matches_uncached).
+    Default ON since round 5. History: the round-4 A/B measured the cache
+    neutral-to-negative, but CONFOUNDED — its custom_knn hook bypassed the
+    registration loop's seed-bound machinery, so it compared (prep savings
+    − seed losses). Round 5 threads the seed windows + visit-gate bounds
+    through custom_knn (the 3-element contract in ``_register_impl``) and
+    caches the windows too; the fair interleaved A/B
+    (scripts/s2m_prep_cache_ab.py, 64 frames, canary 10.7 ms) then reads
+    median cache-on 377.6 vs cache-off 369.1 scans/s (+2.3%, winning 2/3
+    rounds). LOAM_S2M_PREP_CACHE=0 disables for A/B; exactness is pinned by
+    tests/test_odometry.py::test_scan_to_map_prep_cache_path_matches_uncached.
     """
     from ..ops.knn_pallas import pallas_supported
 
     return (
-        os.environ.get("LOAM_S2M_PREP_CACHE", "0") == "1"
+        os.environ.get("LOAM_S2M_PREP_CACHE", "1") == "1"
         and pallas_supported()
         and dtype == jnp.float32
     )

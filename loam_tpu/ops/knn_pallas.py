@@ -136,7 +136,7 @@ def _knn_kernel(
     *refs,
     k: int, tt: int, use_list: bool, with_coords: bool = False,
     init_v: float = float("inf"), n_sub: int = 1, with_bound: bool = False,
-    count_visits: bool = False, slab: int = 0,
+    count_visits: bool = False, unroll: int = 1,
 ):
     """Top-k body with ADAPTIVE culling (see knn_run for the jit-level half).
 
@@ -161,16 +161,6 @@ def _knn_kernel(
     visit-order invariant — identical to XLA ``topk_min``'s ascending
     (distance, first-index) semantics.
     """
-    if slab:
-        # (n_tiles, 1) SMEM: first chunk of this tile's SLOT-ALIGNED SLAB —
-        # ``slab`` consecutive chunks visited UNCONDITIONALLY before the
-        # gated tail loop (see knn_run). Azimuth-co-sorted query/target sets
-        # put ~all true neighbors in the slab, so the running k-th tightens
-        # to ~its final value there and the tail gate prunes nearly every
-        # remaining visit. Exactness: slab visits only ADD candidate
-        # evaluations; tail chunks keep the sound bbox gate; the merge is
-        # visit-order invariant.
-        slab_ref, *refs = refs
     if with_bound:
         # (1, TQ) per-query UPPER bound on the k-th smallest d^2, from seed
         # candidates recomputed at the jit level (see seed_bound helpers).
@@ -292,8 +282,7 @@ def _knn_kernel(
         for a in range(n_coord):
             sc[a][:, lo : lo + sw] = jnp.stack(nc[a], axis=0)
 
-    def visit(j, carry):
-        c = lst_ref[tile, j] if use_list else j
+    def do_chunk(c):
         # Point-to-box lower bound per query, in the CHUNK's OWN rotated
         # frame (u along the chunk's center azimuth, v across, z up): an
         # azimuth-sorted chunk is a thin full-range wedge whose axis-aligned
@@ -333,15 +322,29 @@ def _knn_kernel(
             def _(c=c, s=s):
                 chunk_work(c, s)
 
+    def visit(j, carry):
+        do_chunk(lst_ref[tile, j] if use_list else j)
         return carry
 
-    if slab:
-        c0 = slab_ref[tile, 0]
-        for s_off in range(slab):
-            for s in range(n_sub):
-                chunk_work(c0 + s_off, s)
     if use_list:
-        lax.fori_loop(0, cnt_ref[tile, 0], visit, jnp.int32(0))
+        if unroll > 1:
+            # Visit-loop unrolling (round-5 granularity experiment,
+            # LOAM_KNN_UNROLL): process ``unroll`` list entries per
+            # fori_loop iteration to amortize the loop bookkeeping the
+            # round-4 decomposition blamed. The jit level pads each list
+            # to a multiple of ``unroll`` with the index of a synthetic
+            # ALWAYS-CLOSED chunk (inverted bbox -> lb = +inf -> the gate
+            # skips it; chunk_work never touches it), so padded slots cost
+            # one gate eval and results are exactly unchanged.
+            def visit_u(j, carry):
+                for u in range(unroll):
+                    do_chunk(lst_ref[tile, j * unroll + u])
+                return carry
+
+            nv = (cnt_ref[tile, 0] + (unroll - 1)) // unroll
+            lax.fori_loop(0, nv, visit_u, jnp.int32(0))
+        else:
+            lax.fori_loop(0, cnt_ref[tile, 0], visit, jnp.int32(0))
     else:
         lax.fori_loop(0, m_total // tt, visit, jnp.int32(0))
     idx_ref[...] = si[...]
@@ -576,7 +579,6 @@ def knn_run(
     query_mask: jax.Array = None,
     seed_bound: jax.Array = None,
     return_visits: bool = False,
-    slab_chunks: int = 0,
 ):
     """Query-side half of :func:`knn_pallas` against prebuilt targets.
 
@@ -602,17 +604,11 @@ def knn_run(
     bound only removes visits. Results never copy seed values: stale or
     loose bounds cost time, never correctness.
 
-    ``slab_chunks``: visit that many SLOT-ALIGNED target chunks per query
-    tile UNCONDITIONALLY (ungated), excluding them from the gated tail
-    list. For azimuth-co-sorted query/target sets (the ICF scan-to-scan
-    workload: consecutive frames place corresponding returns at nearly
-    equal sorted ranks) the slab holds ~all true neighbors, so the running
-    k-th tightens there and the tail gate then prunes nearly every
-    remaining visit — round-4 profiling showed per-visit control overhead
-    (gate evals + fori_loop + dynamic slices), not element math, dominates
-    this kernel. Purely a visit-schedule change: results are exactly those
-    of ``slab_chunks=0`` for ANY input ordering (misaligned orderings just
-    waste the slab visits). Requires ``max_dist > 0``.
+    (History: a round-4 ``slab_chunks`` mode visited slot-aligned chunks
+    unconditionally — 2.5x on the standalone kernel for COLD queries but a
+    consistent ~15% e2e REGRESSION in the warm motion-prior regime the
+    production drivers run; pruned in round 5 per the win-or-prune rule,
+    see docs/PERFORMANCE.md.)
     """
     from ..neighbors.bruteforce import KnnResult
 
@@ -645,8 +641,6 @@ def knn_run(
     # tail (see _knn_kernel; tie order does not affect outputs — the merge
     # breaks distance ties by global index).
     r2 = float(max_dist) ** 2 if max_dist > 0 else 0.0
-    slab = int(min(slab_chunks, n_chunks)) if r2 > 0 else 0
-    slab_arr = None
     if r2 > 0:
         sep2, nonempty = _tile_gaps(qlo, qhi, prep.rot, prep.rbox)
         active = (sep2 < jnp.asarray(r2, dtype)) & nonempty[:, None]
@@ -668,27 +662,32 @@ def knn_run(
             qb = jnp.pad(qb, (0, qpad - Q))
             tile_bound = jnp.max(qb.reshape(n_tiles, tq), axis=1)
             active = active & (sep2 <= tile_bound[:, None])
-        if slab:
-            # dynamic slab starts: the run of ``slab`` chunks around the
-            # chunk NEAREST the tile's query box (argmin of the already-
-            # computed box separations — one tiny (T, C) reduction). Works
-            # for any co-coherent ordering: azimuth-sorted scan pairs AND
-            # Morton-sorted scan-vs-map, where slot-proportional alignment
-            # would point nowhere.
-            c0 = jnp.clip(
-                jnp.argmin(sep2, axis=1).astype(jnp.int32) - slab // 2,
-                0, n_chunks - slab,
-            )
-            slab_arr = c0[:, None]
-            cid = jnp.arange(n_chunks, dtype=jnp.int32)
-            in_slab = (cid[None, :] >= c0[:, None]) & (
-                cid[None, :] < (c0 + slab)[:, None]
-            )
-            active = active & ~in_slab
         lst, cnt = _pack_active_lists(active, sep2)
     else:
         lst = jnp.zeros((n_tiles, n_chunks), jnp.int32)
         cnt = jnp.zeros((n_tiles, 1), jnp.int32)
+
+    # Visit-loop unrolling (LOAM_KNN_UNROLL, round-5 experiment): pad each
+    # tile's active list to a multiple of U with the index of ONE synthetic
+    # always-closed chunk (inverted bbox: lo=+3e37, hi=-3e37, so the
+    # kernel's lower bound overflows to +inf and its gate skips the slot;
+    # chunk_work never reads target data for it). Results exactly equal
+    # unroll=1; padded slots cost one gate evaluation each.
+    unroll = max(1, int(os.environ.get("LOAM_KNN_UNROLL", "1"))) if r2 > 0 else 1
+    rot_op, rbox_op = prep.rot, prep.rbox
+    n_chunks_op, lst_w = n_chunks, n_chunks
+    if unroll > 1:
+        big = jnp.asarray(3e37, prep.rbox.dtype)
+        closed = jnp.stack([big, -big, big, -big, big, -big])[:, None]
+        rot_op = jnp.pad(prep.rot, ((0, 0), (0, 1)))
+        rbox_op = jnp.concatenate([prep.rbox, closed], axis=1)
+        n_chunks_op = n_chunks + 1
+        lst_w = n_chunks + unroll - 1
+        pos = jnp.arange(lst_w, dtype=jnp.int32)[None, :]
+        lst = jnp.where(
+            pos < cnt, jnp.pad(lst, ((0, 0), (0, unroll - 1))),
+            jnp.int32(n_chunks),
+        )
 
     grid = (n_tiles,)
     n_out = 5 if with_coords else 2
@@ -707,24 +706,19 @@ def knn_run(
         pl.BlockSpec((3, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (2, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
+            (2, n_chunks_op), lambda i: (0, 0), memory_space=pltpu.SMEM
         ),
         pl.BlockSpec(
-            (6, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
+            (6, n_chunks_op), lambda i: (0, 0), memory_space=pltpu.SMEM
         ),
         pl.BlockSpec(
             (n_tiles, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
         ),
         pl.BlockSpec(
-            (n_tiles, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
+            (n_tiles, lst_w), lambda i: (0, 0), memory_space=pltpu.SMEM
         ),
     ]
-    operands = [qT, prep.tT, prep.rot, prep.rbox, cnt, lst]
-    if slab:
-        in_specs.append(
-            pl.BlockSpec((n_tiles, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-        )
-        operands.append(slab_arr)
+    operands = [qT, prep.tT, rot_op, rbox_op, cnt, lst]
     if seed_bound is not None:
         # pad value 0.0 closes the gate for pad slots outright (their
         # sentinel queries would skip anyway)
@@ -750,7 +744,7 @@ def knn_run(
             _knn_kernel, k=k, tt=tt, use_list=r2 > 0, with_coords=with_coords,
             init_v=r2 if r2 > 0 else float("inf"), n_sub=n_sub,
             with_bound=seed_bound is not None, count_visits=return_visits,
-            slab=slab,
+            unroll=unroll,
         ),
         grid=grid,
         in_specs=in_specs,

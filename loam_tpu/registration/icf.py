@@ -368,16 +368,6 @@ def _register_impl(
         e_prep = knn_prep(target.edge_points, target.edge_mask)
         p_prep = knn_prep(target.planar_points, target.planar_mask)
 
-        # Slot-aligned unconditional slab (ops/knn_pallas.py knn_run).
-        # Round-4 hardware A/Bs: wins 40% in-loop on COLD queries (raw
-        # 0.08 m-offset frames, 0.50 -> 0.30 ms/pair/iter) but LOSES e2e
-        # (455-467 -> 400-443 scans/s over interleaved repeated arms,
-        # seeds on or off): with motion-prior-aligned queries the gated
-        # path is already near its floor and the slab's ungated works are
-        # pure addition. Default off; LOAM_KNN_SLAB=N enables for cold /
-        # unaligned search workloads (results exactly equal either way).
-        slab = int(os.environ.get("LOAM_KNN_SLAB", "0"))
-
         def edge_knn(q, bound=None):
             # with_coords: the kernel hands back neighbor coordinates in
             # packed layout — association fits run gather- and
@@ -388,7 +378,6 @@ def _register_impl(
                 e_prep, q, params.num_edge_neighbors,
                 params.max_edge_neighbor_dist, with_coords=True,
                 query_mask=source.edge_mask, seed_bound=bound,
-                slab_chunks=slab,
             ), None
 
         def plane_knn(q, bound=None):
@@ -396,7 +385,6 @@ def _register_impl(
                 p_prep, q, params.num_plane_neighbors,
                 params.max_plane_neighbor_dist, with_coords=True,
                 query_mask=source.planar_mask, seed_bound=bound,
-                slab_chunks=slab,
             ), None
 
         # Seed-bound machinery: slot-aligned cold candidates (hoisted) +

@@ -6,9 +6,15 @@ re-extraction, edges orange / planars blue / raw black) — built on matplotlib
 so it runs in this stack, with a headless mode for remote boxes:
 
   interactive:  python scripts/tune_feature_extraction.py --scan scan.pcd
+  3-D view:     python scripts/tune_feature_extraction.py --view 3d
   single shot:  python scripts/tune_feature_extraction.py --out view.png
   param sweep:  python scripts/tune_feature_extraction.py \
                     --sweep edge_feat_threshold=10:500:6 --out sweep.png
+
+``--view 3d`` renders the point cloud in a rotatable matplotlib 3-D axes
+(the reference viewer is 3-D Open3D, reference script :60-70) with the
+same sliders and colors; ``--view 2d`` (default) is the top-down
+projection, which stays snappier for 64x1024 scans.
 
 Scans: .pcd / .bin (KITTI) via the native IO runtime, .npy ((L,P,3) or
 (L*P,3)), or a synthetic room scan when no file is given.
@@ -58,18 +64,33 @@ def extract(scan, lidar, params):
     return edge, planar
 
 
-def draw(ax, scan, edge, planar, title=""):
+def draw(ax, scan, edge, planar, title="", view="2d"):
     raw = scan.reshape(-1, 3)
     r = np.linalg.norm(raw, axis=1)
     raw = raw[(r > 0.1) & (r < 200)]
-    ax.scatter(raw[:, 0], raw[:, 1], s=0.3, c=RAW_COLOR, alpha=0.25, lw=0)
-    if len(planar):
-        ax.scatter(planar[:, 0], planar[:, 1], s=2.5, c=PLANAR_COLOR, lw=0,
-                   label=f"planar ({len(planar)})")
-    if len(edge):
-        ax.scatter(edge[:, 0], edge[:, 1], s=6, c=EDGE_COLOR, lw=0,
-                   label=f"edge ({len(edge)})")
-    ax.set_aspect("equal")
+    if view == "3d":
+        if len(raw) > 60000:  # keep the 3-D canvas interactive
+            raw = raw[:: len(raw) // 60000 + 1]
+        ax.scatter(raw[:, 0], raw[:, 1], raw[:, 2], s=0.3, c=RAW_COLOR,
+                   alpha=0.25, lw=0)
+        if len(planar):
+            ax.scatter(planar[:, 0], planar[:, 1], planar[:, 2], s=2.5,
+                       c=PLANAR_COLOR, lw=0, label=f"planar ({len(planar)})")
+        if len(edge):
+            ax.scatter(edge[:, 0], edge[:, 1], edge[:, 2], s=8,
+                       c=EDGE_COLOR, lw=0, label=f"edge ({len(edge)})")
+        # equal data aspect so vertical structure reads true
+        spans = raw.max(axis=0) - raw.min(axis=0)
+        ax.set_box_aspect(tuple(np.maximum(spans, 1e-3)))
+    else:
+        ax.scatter(raw[:, 0], raw[:, 1], s=0.3, c=RAW_COLOR, alpha=0.25, lw=0)
+        if len(planar):
+            ax.scatter(planar[:, 0], planar[:, 1], s=2.5, c=PLANAR_COLOR,
+                       lw=0, label=f"planar ({len(planar)})")
+        if len(edge):
+            ax.scatter(edge[:, 0], edge[:, 1], s=6, c=EDGE_COLOR, lw=0,
+                       label=f"edge ({len(edge)})")
+        ax.set_aspect("equal")
     ax.legend(loc="upper right", fontsize=7)
     ax.set_title(title, fontsize=9)
 
@@ -94,6 +115,8 @@ def main():
     ap.add_argument("--min-range", type=float, default=0.5)
     ap.add_argument("--max-range", type=float, default=80.0)
     ap.add_argument("--out", default=None, help="write PNG instead of GUI")
+    ap.add_argument("--view", choices=("2d", "3d"), default="2d",
+                    help="top-down projection or rotatable 3-D scatter")
     ap.add_argument("--sweep", default=None, help="param=lo:hi:n sweep grid")
     for name, (lo, hi, typ) in PARAM_RANGES.items():
         ap.add_argument(f"--{name.replace('_', '-')}", type=typ, default=None)
@@ -127,12 +150,14 @@ def main():
             values = sorted(set(int(round(v)) for v in values))
         cols = min(3, len(values))
         rows = -(-len(values) // cols)
-        fig, axes = plt.subplots(rows, cols, figsize=(6 * cols, 6 * rows))
+        sub = {"projection": "3d"} if args.view == "3d" else {}
+        fig, axes = plt.subplots(rows, cols, figsize=(6 * cols, 6 * rows),
+                                 subplot_kw=sub)
         axes = np.atleast_1d(axes).ravel()
         for ax, v in zip(axes, values):
             p = FeatureExtractionParams(**{**overrides, name: typ(v)})
             edge, planar = extract(scan, lidar, p)
-            draw(ax, scan, edge, planar, f"{name} = {typ(v)}")
+            draw(ax, scan, edge, planar, f"{name} = {typ(v)}", args.view)
         for ax in axes[len(values):]:
             ax.axis("off")
         fig.tight_layout()
@@ -142,9 +167,10 @@ def main():
 
     if args.out:
         edge, planar = extract(scan, lidar, base)
-        fig, ax = plt.subplots(figsize=(9, 9))
+        sub = {"projection": "3d"} if args.view == "3d" else {}
+        fig, ax = plt.subplots(figsize=(9, 9), subplot_kw=sub)
         draw(ax, scan, edge, planar,
-             f"{lidar.scan_lines}x{lidar.points_per_line} scan")
+             f"{lidar.scan_lines}x{lidar.points_per_line} scan", args.view)
         fig.tight_layout()
         fig.savefig(args.out, dpi=130)
         print(f"wrote {args.out}")
@@ -154,7 +180,10 @@ def main():
     from matplotlib.widgets import Slider
 
     fig = plt.figure(figsize=(13, 9))
-    ax = fig.add_axes([0.05, 0.08, 0.6, 0.88])
+    if args.view == "3d":
+        ax = fig.add_axes([0.02, 0.05, 0.64, 0.92], projection="3d")
+    else:
+        ax = fig.add_axes([0.05, 0.08, 0.6, 0.88])
     sliders = {}
     y = 0.90
     state = dict(overrides)
@@ -166,7 +195,7 @@ def main():
         edge, planar = extract(scan, lidar, p)
         ax.clear()
         draw(ax, scan, edge, planar,
-             f"{lidar.scan_lines}x{lidar.points_per_line} scan")
+             f"{lidar.scan_lines}x{lidar.points_per_line} scan", args.view)
         fig.canvas.draw_idle()
 
     defaults = FeatureExtractionParams()

@@ -104,6 +104,16 @@ _SLOW = {
     "test_adversarial_scenes.py::test_exactly_min_associations_boundary",
     "test_adversarial_scenes.py::test_minimal_line_fit_points_no_nans",
     "test_dataset_e2e.py::test_loader_matches_direct_projection",
+    # round-5 streaming tier (full-driver compiles; the fast gate keeps the
+    # codec tests + fence resolution + one cheap streaming e2e)
+    "test_streaming.py::test_streaming_matches_offline_unpacked",
+    "test_streaming.py::test_streaming_files_packed_ate",
+    "test_streaming.py::test_streaming_packed_array_source",
+    "test_streaming.py::test_streaming_chunk_tail_padding",
+    "test_streaming.py::test_extract_batch_env_override",
+    "test_odometry.py::test_scan_to_map_prep_cache_path_matches_uncached",
+    "test_knn_pallas.py::test_warm_start_registration_matches_unseeded",
+    "test_features.py::test_extract_features_batch_map_equals_vmap",
 }
 
 

@@ -241,37 +241,3 @@ def test_warm_start_registration_matches_unseeded(monkeypatch):
         np.asarray(det_on.iteration_info.plane_match),
         np.asarray(det_off.iteration_info.plane_match),
     )
-
-
-@pytest.mark.parametrize("slab", [1, 2, 4])
-def test_slab_results_unchanged(slab):
-    """The unconditional slot-aligned slab (round 4) is a visit-schedule
-    change only: results exactly equal slab_chunks=0 for sorted AND
-    unsorted inputs, with and without query masks."""
-    from loam_tpu.ops.knn_pallas import knn_prep, knn_run
-
-    rng = np.random.default_rng(17)
-    for sorted_sets in (True, False):
-        q, t, tm = _sets(5 if sorted_sets else 6, 900, 700)
-        if sorted_sets:  # azimuth-sort both (the intended workload)
-            q = q[jnp.argsort(jnp.arctan2(q[:, 1], q[:, 0]))]
-            order = jnp.argsort(jnp.arctan2(t[:, 1], t[:, 0]))
-            t, tm = t[order], tm[order]
-        qm = jnp.asarray(rng.random(q.shape[0]) > 0.2)
-        prep = knn_prep(t, tm, tt=128)
-        base = knn_run(prep, q, 5, 2.0, tq=256, with_coords=True,
-                       query_mask=qm)
-        sl = knn_run(prep, q, 5, 2.0, tq=256, with_coords=True,
-                     query_mask=qm, slab_chunks=slab)
-        np.testing.assert_array_equal(np.asarray(base.mask),
-                                      np.asarray(sl.mask))
-        m = np.asarray(base.mask)
-        top = m[0] & np.asarray(qm)
-        np.testing.assert_array_equal(
-            np.asarray(base.first_idx)[top], np.asarray(sl.first_idx)[top]
-        )
-        for name in ("xs", "ys", "zs"):
-            np.testing.assert_array_equal(
-                np.asarray(getattr(base, name))[m],
-                np.asarray(getattr(sl, name))[m],
-            )

@@ -311,7 +311,12 @@ def test_fallback_fence_forces_map(monkeypatch, traj_data):
     scans, _ = traj_data
     monkeypatch.setattr(kp, "pallas_supported", lambda: True)
     monkeypatch.delenv("LOAM_EXTRACT_BATCH", raising=False)
-    params = FeatureExtractionParams(greedy_nms="xla")
+    # all-fallback stages: engages the fence AND keeps the per-frame
+    # program pure-XLA (no interpret-mode bitonic compile) so this stays
+    # in the fast gate
+    params = FeatureExtractionParams(
+        sector_sort="xla", feature_assemble="gather", greedy_nms="xla"
+    )
     assert ex._batch_construct(params, jnp.float32) == "map"
     assert ex._batch_construct(FeatureExtractionParams(), jnp.float32) == "vmap"
     monkeypatch.setenv("LOAM_EXTRACT_BATCH", "vmap")
