@@ -136,7 +136,7 @@ def _knn_kernel(
     *refs,
     k: int, tt: int, use_list: bool, with_coords: bool = False,
     init_v: float = float("inf"), n_sub: int = 1, with_bound: bool = False,
-    count_visits: bool = False, unroll: int = 1,
+    count_visits: bool = False,
 ):
     """Top-k body with ADAPTIVE culling (see knn_run for the jit-level half).
 
@@ -327,24 +327,12 @@ def _knn_kernel(
         return carry
 
     if use_list:
-        if unroll > 1:
-            # Visit-loop unrolling (round-5 granularity experiment,
-            # LOAM_KNN_UNROLL): process ``unroll`` list entries per
-            # fori_loop iteration to amortize the loop bookkeeping the
-            # round-4 decomposition blamed. The jit level pads each list
-            # to a multiple of ``unroll`` with the index of a synthetic
-            # ALWAYS-CLOSED chunk (inverted bbox -> lb = +inf -> the gate
-            # skips it; chunk_work never touches it), so padded slots cost
-            # one gate eval and results are exactly unchanged.
-            def visit_u(j, carry):
-                for u in range(unroll):
-                    do_chunk(lst_ref[tile, j * unroll + u])
-                return carry
-
-            nv = (cnt_ref[tile, 0] + (unroll - 1)) // unroll
-            lax.fori_loop(0, nv, visit_u, jnp.int32(0))
-        else:
-            lax.fori_loop(0, cnt_ref[tile, 0], visit, jnp.int32(0))
+        # (A round-5 experiment unrolled this loop by 2-4 entries per
+        # iteration, padding lists with a synthetic always-closed chunk —
+        # exact, and measured NEUTRAL: 1.461 / 1.456 / 1.461 ms/scan
+        # device e2e for U=1/2/4, interleaved medians. fori_loop
+        # bookkeeping is NOT a material per-visit cost; pruned.)
+        lax.fori_loop(0, cnt_ref[tile, 0], visit, jnp.int32(0))
     else:
         lax.fori_loop(0, m_total // tt, visit, jnp.int32(0))
     idx_ref[...] = si[...]
@@ -667,27 +655,6 @@ def knn_run(
         lst = jnp.zeros((n_tiles, n_chunks), jnp.int32)
         cnt = jnp.zeros((n_tiles, 1), jnp.int32)
 
-    # Visit-loop unrolling (LOAM_KNN_UNROLL, round-5 experiment): pad each
-    # tile's active list to a multiple of U with the index of ONE synthetic
-    # always-closed chunk (inverted bbox: lo=+3e37, hi=-3e37, so the
-    # kernel's lower bound overflows to +inf and its gate skips the slot;
-    # chunk_work never reads target data for it). Results exactly equal
-    # unroll=1; padded slots cost one gate evaluation each.
-    unroll = max(1, int(os.environ.get("LOAM_KNN_UNROLL", "1"))) if r2 > 0 else 1
-    rot_op, rbox_op = prep.rot, prep.rbox
-    n_chunks_op, lst_w = n_chunks, n_chunks
-    if unroll > 1:
-        big = jnp.asarray(3e37, prep.rbox.dtype)
-        closed = jnp.stack([big, -big, big, -big, big, -big])[:, None]
-        rot_op = jnp.pad(prep.rot, ((0, 0), (0, 1)))
-        rbox_op = jnp.concatenate([prep.rbox, closed], axis=1)
-        n_chunks_op = n_chunks + 1
-        lst_w = n_chunks + unroll - 1
-        pos = jnp.arange(lst_w, dtype=jnp.int32)[None, :]
-        lst = jnp.where(
-            pos < cnt, jnp.pad(lst, ((0, 0), (0, unroll - 1))),
-            jnp.int32(n_chunks),
-        )
 
     grid = (n_tiles,)
     n_out = 5 if with_coords else 2
@@ -706,19 +673,19 @@ def knn_run(
         pl.BlockSpec((3, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, mpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (2, n_chunks_op), lambda i: (0, 0), memory_space=pltpu.SMEM
+            (2, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
         ),
         pl.BlockSpec(
-            (6, n_chunks_op), lambda i: (0, 0), memory_space=pltpu.SMEM
+            (6, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
         ),
         pl.BlockSpec(
             (n_tiles, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
         ),
         pl.BlockSpec(
-            (n_tiles, lst_w), lambda i: (0, 0), memory_space=pltpu.SMEM
+            (n_tiles, n_chunks), lambda i: (0, 0), memory_space=pltpu.SMEM
         ),
     ]
-    operands = [qT, prep.tT, rot_op, rbox_op, cnt, lst]
+    operands = [qT, prep.tT, prep.rot, prep.rbox, cnt, lst]
     if seed_bound is not None:
         # pad value 0.0 closes the gate for pad slots outright (their
         # sentinel queries would skip anyway)
@@ -744,7 +711,6 @@ def knn_run(
             _knn_kernel, k=k, tt=tt, use_list=r2 > 0, with_coords=with_coords,
             init_v=r2 if r2 > 0 else float("inf"), n_sub=n_sub,
             with_bound=seed_bound is not None, count_visits=return_visits,
-            unroll=unroll,
         ),
         grid=grid,
         in_specs=in_specs,
