@@ -261,7 +261,9 @@ def _timed_median(run, frames: int, reps: int, config: str = "") -> float:
         if s > 0 and _elapsed() > _deadline() * 0.7:
             break
         vals.append(_timed(run, frames, reps, config))
-    med = float(sorted(vals)[len(vals) // 2])
+    # lower median: with an even sample count (deadline truncation) report
+    # the smaller middle value, never an optimistic best-of-2
+    med = float(sorted(vals)[(len(vals) - 1) // 2])
     _record(
         med, config + "; samples=" + ",".join(f"{v:.1f}" for v in vals)
     )

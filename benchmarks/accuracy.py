@@ -90,7 +90,7 @@ def main():
     report("scan_to_scan", np.stack(est), np.stack(est_rot), time.perf_counter() - t0)
 
     # scan-to-map (voxel map + keyframing)
-    mstate = scan_to_map_init()
+    mstate = scan_to_map_init(lidar=lidar)
     reg = RegistrationParams(search_backend="grid")
     est, est_rot = [], []
     t0 = time.perf_counter()

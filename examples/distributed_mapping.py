@@ -54,7 +54,7 @@ def main():
     reg = RegistrationParams(prior_weight=300.0)
 
     state_s = scan_to_map_init_sharded(config, mesh)
-    state_1 = scan_to_map_init(config)
+    state_1 = scan_to_map_init(config, lidar=lidar)
     traj_s, traj_1 = [], []
     for f in range(frames):
         state_s, pose_s, _ = scan_to_map_step_sharded(

@@ -58,7 +58,7 @@ def main():
     n = len(scans)
 
     # 1) streaming scan-to-map odometry
-    state = scan_to_map_init()
+    state = scan_to_map_init(lidar=lidar)
     # tighter convergence than the reference defaults: each frame stops
     # below ~1 mm / 0.1 mrad instead of 1 cm, so drift accumulates slowly
     # prior_weight keeps blind frames (degenerate geometry) anchored to the

@@ -45,7 +45,7 @@ def main():
     )
     gt = np.stack([t for (_, t) in poses])
 
-    state = scan_to_map_init()
+    state = scan_to_map_init(lidar=lidar)
     if args.resume:
         state = checkpoint.load(args.resume, state)
         print(f"resumed from {args.resume} "

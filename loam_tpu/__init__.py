@@ -49,6 +49,8 @@ from .odometry import (
     odometry_streaming,
     scan_to_map_init,
     scan_to_map_offline,
+    scan_to_map_rebuild_cache,
+    scan_to_map_strip_cache,
     scan_to_map_step,
     scan_to_map_step_features,
     scan_to_scan_init,
@@ -81,6 +83,8 @@ __all__ = [
     "odometry_streaming",
     "scan_to_map_init",
     "scan_to_map_offline",
+    "scan_to_map_rebuild_cache",
+    "scan_to_map_strip_cache",
     "scan_to_map_step",
     "scan_to_map_step_features",
     "scan_to_scan_init",

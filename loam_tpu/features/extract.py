@@ -231,17 +231,36 @@ def _fallback_stage_engaged(
     impl (xla sector sort / gather assemble / xla greedy NMS) on a Pallas-
     capable (TPU) backend — the configurations whose VMAPPED forms
     miscompile on the current TPU runtime (see ``extract_features_batch``).
+
+    Resolution must mirror what the stages ACTUALLY run (round-5 review
+    fix): ``select_points`` resolves auto to the gather fallback for
+    non-f32 data or under ``LOAM_PALLAS_INTERPRET=1``, and interpret mode
+    swaps every kernel for its staged-XLA form — so interpret-on-TPU is
+    conservatively treated as fallback territory too (only the coverage
+    knob hits it; ``lax.map`` is merely slower there, never wrong).
     """
+    import os as _os
+
     from ..ops.knn_pallas import pallas_supported
 
     if not pallas_supported():
-        return False  # CPU/interpret forms are oracle-exact under vmap
+        return False  # CPU forms are oracle-exact under vmap
+    if _os.environ.get("LOAM_PALLAS_INTERPRET", "0") == "1":
+        return True
+    f32 = dtype == jnp.float32
     sort = params.sector_sort
-    if sort == "auto":
-        sort = "bitonic" if dtype == jnp.float32 else "xla"
-    assemble = "pallas" if params.feature_assemble == "auto" else params.feature_assemble
-    nms = "pallas" if params.greedy_nms == "auto" else params.greedy_nms
-    return sort == "xla" or assemble == "gather" or nms == "xla"
+    if sort == "auto":  # mirrors _sector_sort
+        sort = "bitonic" if f32 else "xla"
+    assemble = params.feature_assemble
+    if assemble == "auto":  # mirrors ops.assemble_pallas.select_points
+        assemble = "pallas" if f32 else "gather"
+    nms = _nms_impl(params.greedy_nms)
+    return (
+        sort == "xla"
+        or assemble == "gather"
+        or nms == "xla"
+        or (not f32)  # any non-f32 kernel request falls back internally
+    )
 
 
 def extract_features_batch(

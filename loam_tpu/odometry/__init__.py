@@ -29,8 +29,10 @@ from .scan_to_map import (
     default_map_reg_params,
     scan_to_map_init,
     scan_to_map_offline,
+    scan_to_map_rebuild_cache,
     scan_to_map_step,
     scan_to_map_step_features,
+    scan_to_map_strip_cache,
 )
 from .scan_to_scan import ScanToScanState, scan_to_scan_init, scan_to_scan_step
 
@@ -45,6 +47,8 @@ __all__ = [
     "stream_init",
     "scan_to_map_init",
     "scan_to_map_offline",
+    "scan_to_map_rebuild_cache",
+    "scan_to_map_strip_cache",
     "scan_to_map_step",
     "scan_to_map_step_features",
     "default_map_reg_params",

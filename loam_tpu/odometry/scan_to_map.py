@@ -122,20 +122,28 @@ def scan_to_map_init(
     lidar: Optional[LidarParams] = None,
     feat_params: FeatureExtractionParams = FeatureExtractionParams(),
 ) -> ScanToMapState:
-    """Initial mapping state. Pass ``lidar`` (+ ``feat_params``) when the
-    prep cache is enabled so the cached cold-seed windows can be sized to
-    the scan-side feature capacities (without it the cache still hoists the
-    target prep, just not the seed windows)."""
+    """Initial mapping state. Pass ``lidar`` (+ ``feat_params``) to enable
+    the rebuild-on-insert kNN prep cache (``_use_prep_cache``): the cached
+    cold-seed windows must be sized to the scan-side feature capacities,
+    and the fair round-5 A/B only measured the cache a win WITH the seed
+    machinery — so without ``lidar`` the state carries NO cache and the
+    registration uses the plain in-register path (identical results either
+    way). This also keeps ``scan_to_map_init()`` checkpoint templates
+    pytree-compatible with pre-cache checkpoints; see
+    :func:`scan_to_map_strip_cache` for checkpointing cached states."""
     edge_map = voxel_map_empty(
         config.edge_capacity, config.edge_voxel_size, origin, dtype
     )
     planar_map = voxel_map_empty(
         config.planar_capacity, config.planar_voxel_size, origin, dtype
     )
-    qe = qp = None
-    if lidar is not None:
-        qe = feat_params.edge_capacity(lidar)
-        qp = feat_params.planar_capacity(lidar)
+    cache = ()
+    if lidar is not None and _use_prep_cache(dtype):
+        cache = _build_prep_cache(
+            edge_map, planar_map,
+            feat_params.edge_capacity(lidar),
+            feat_params.planar_capacity(lidar),
+        )
     return ScanToMapState(
         edge_map=edge_map,
         planar_map=planar_map,
@@ -143,10 +151,38 @@ def scan_to_map_init(
         prev_delta=Pose3.identity(dtype),
         world_T_keyframe=Pose3.identity(dtype),
         frames_since_insert=jnp.int32(-1),
-        knn_prep_cache=(
-            _build_prep_cache(edge_map, planar_map, qe, qp)
-            if _use_prep_cache(dtype) else ()
-        ),
+        knn_prep_cache=cache,
+    )
+
+
+def scan_to_map_strip_cache(state: ScanToMapState) -> ScanToMapState:
+    """Return ``state`` with the kNN prep cache dropped.
+
+    The cache is DERIVED state (rebuilt from the maps on any keyframe
+    insert), so strip it before checkpointing: the stripped state loads
+    into a plain ``scan_to_map_init()`` template regardless of whether the
+    save side had the cache enabled. Resume either uncached (results are
+    identical) or re-derive it with :func:`scan_to_map_rebuild_cache`."""
+    return state._replace(knn_prep_cache=())
+
+
+def scan_to_map_rebuild_cache(
+    state: ScanToMapState,
+    lidar: LidarParams,
+    feat_params: FeatureExtractionParams = FeatureExtractionParams(),
+) -> ScanToMapState:
+    """Re-derive the kNN prep cache (+ seed windows) for ``state``'s maps —
+    the inverse of :func:`scan_to_map_strip_cache` after a checkpoint load.
+    No-op where the cache is inactive (non-TPU backend / non-f32)."""
+    dtype = state.edge_map.points.dtype
+    if not _use_prep_cache(dtype):
+        return state._replace(knn_prep_cache=())
+    return state._replace(
+        knn_prep_cache=_build_prep_cache(
+            state.edge_map, state.planar_map,
+            feat_params.edge_capacity(lidar),
+            feat_params.planar_capacity(lidar),
+        )
     )
 
 
@@ -234,7 +270,9 @@ def scan_to_map_step_features(
     # storage is spatially compact, so no reordering inside the registration
     custom_knn = None
     if (
-        state.knn_prep_cache
+        len(state.knn_prep_cache) == 14  # prep arrays AND seed windows:
+        # a windowless cache would re-run the confounded round-4 arm
+        # (prep savings minus seed losses, a measured regression)
         and reg_params.search_backend == "bruteforce"
         and reg_params.max_edge_neighbor_dist > 0
         and reg_params.max_plane_neighbor_dist > 0

@@ -144,6 +144,8 @@ def odometry_streaming(
     motion_init: bool = True,
     n_threads: int = 4,
     queue_cap: int = 32,
+    elev_lo: float = -0.30,
+    elev_hi: float = 0.25,
 ) -> Tuple[Pose3, RegistrationDetail]:
     """File-fed odometry with IO, upload and compute pipelined.
 
@@ -159,6 +161,12 @@ def odometry_streaming(
         bytes; quantization below sensor noise — see ``io/packed.py``). For
         path sources the native loader packs in its worker threads; array
         sources are packed on the host thread.
+      elev_lo / elev_hi: the sensor's vertical FOV (rad) — used both by the
+        file projection and by the packed codec's per-row elevation cells.
+        MUST match the geometry of the data: the codec quantizes elevation
+        offsets against these rows, so a wrong FOV snaps points into wrong
+        cells (meters of error at range) instead of raising. Defaults match
+        ``project_range_image`` / the synthetic renderer.
 
     Returns:
       (trajectory, details): trajectory is (F,) world poses with frame 0 at
@@ -168,7 +176,6 @@ def odometry_streaming(
     from ..io.native import ScanLoader
     from ..io.packed import PACKED_R_MAX, encode_packed_grid
 
-    elev_lo, elev_hi = -0.30, 0.25
     packed_cfg = (elev_lo, elev_hi, PACKED_R_MAX) if packed else None
     K = int(chunk_frames)
     loader = None

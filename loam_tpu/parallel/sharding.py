@@ -48,13 +48,20 @@ def extract_features_sharded(
     params: FeatureExtractionParams = FeatureExtractionParams(),
 ) -> FeatureSet:
     """Batched feature extraction with frames sharded over "data" and scan
-    lines over "line" (lines are independent, SURVEY §2.3(4))."""
+    lines over "line" (lines are independent, SURVEY §2.3(4)).
+
+    Batches through :func:`extract_features_batch` so the TPU vmap-
+    miscompile fence applies here too (round-5 review fix): fallback-stage
+    configurations batch with ``lax.map`` — correct everywhere, at the
+    cost of frame-axis parallelism for those (non-production) configs."""
+    from ..features.extract import extract_features_batch
+
     scans = jnp.asarray(scans)
     if scans.ndim == 3:  # (F, L*P, 3) -> (F, L, P, 3)
         scans = scans.reshape(scans.shape[0], lidar.scan_lines, -1, 3)
     sharded = jax.device_put(scans, NamedSharding(mesh, P("data", "line")))
     return jax.jit(
-        jax.vmap(lambda s: extract_features(s, lidar, params))
+        lambda s: extract_features_batch(s, lidar, params)
     )(sharded)
 
 

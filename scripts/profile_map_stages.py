@@ -142,7 +142,7 @@ def main():
         qe,
     )
 
-    state = scan_to_map_init(config)
+    state = scan_to_map_init(config, lidar=lidar)
     state = state._replace(
         edge_map=emap, planar_map=pmap, world_T_current=pose_last,
         frames_since_insert=jnp.int32(1),

@@ -282,6 +282,10 @@ def test_fallback_fence_resolution(monkeypatch):
 
     kp = importlib.import_module("loam_tpu.ops.knn_pallas")
     monkeypatch.setattr(kp, "pallas_supported", lambda: True)
+    # conftest sets the interpret coverage knob; the fence treats
+    # interpret-on-TPU as fallback territory, so clear it for the
+    # resolution assertions and check it separately below
+    monkeypatch.setenv("LOAM_PALLAS_INTERPRET", "0")
     f32 = jnp.float32
     assert not ex._fallback_stage_engaged(FeatureExtractionParams(), f32)
     for kw in (
@@ -292,6 +296,11 @@ def test_fallback_fence_resolution(monkeypatch):
         assert ex._fallback_stage_engaged(FeatureExtractionParams(**kw), f32)
     # auto sector sort on non-f32 resolves to the xla fallback -> fenced
     assert ex._fallback_stage_engaged(FeatureExtractionParams(), jnp.float64)
+    # interpret mode on a TPU backend swaps kernels for staged-XLA forms:
+    # conservatively fenced
+    monkeypatch.setenv("LOAM_PALLAS_INTERPRET", "1")
+    assert ex._fallback_stage_engaged(FeatureExtractionParams(), f32)
+    monkeypatch.setenv("LOAM_PALLAS_INTERPRET", "0")
     # off-TPU: no fence
     monkeypatch.setattr(kp, "pallas_supported", lambda: False)
     assert not ex._fallback_stage_engaged(
@@ -310,6 +319,7 @@ def test_fallback_fence_forces_map(monkeypatch, traj_data):
     kp = importlib.import_module("loam_tpu.ops.knn_pallas")
     scans, _ = traj_data
     monkeypatch.setattr(kp, "pallas_supported", lambda: True)
+    monkeypatch.setenv("LOAM_PALLAS_INTERPRET", "0")
     monkeypatch.delenv("LOAM_EXTRACT_BATCH", raising=False)
     # all-fallback stages: engages the fence AND keeps the per-frame
     # program pure-XLA (no interpret-mode bitonic compile) so this stays
@@ -351,3 +361,28 @@ def test_extract_batch_env_override(monkeypatch, traj_data):
         jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
     ):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_packed_codec_custom_fov():
+    """The codec parameters (elev_lo/elev_hi) must be honored end-to-end:
+    encode/decode with a non-default vertical FOV reconstructs within the
+    same bounds (round-5 review fix: the FOV is now a parameter of
+    odometry_streaming, not a hidden constant)."""
+    lo, hi = -0.45, 0.10
+    L, P = 12, 128
+    elev = np.linspace(lo, hi, L)
+    az = (np.arange(P) + 0.25) / P * 2 * np.pi
+    r = 8.0 + np.random.default_rng(3).random((L, P)) * 20.0
+    scan = np.stack(
+        [r * np.cos(elev)[:, None] * np.cos(az)[None, :],
+         r * np.cos(elev)[:, None] * np.sin(az)[None, :],
+         r * np.sin(elev)[:, None] * np.ones((1, P))], axis=-1
+    ).astype(np.float32)
+    pk = encode_packed_grid(scan, lo, hi)
+    dec = np.asarray(decode_packed(pk, lo, hi))
+    err = np.linalg.norm(dec - scan, axis=-1)
+    assert err.max() < 0.01, err.max()
+    # decoding with the WRONG fov is meters off — the failure mode the
+    # parameter exists to prevent
+    wrong = np.asarray(decode_packed(pk))
+    assert np.linalg.norm(wrong - scan, axis=-1).max() > 0.5
