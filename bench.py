@@ -444,11 +444,15 @@ def _run_bench_dataset(frames: int, reps: int, safe: bool = False) -> float:
     reg_params = _reg_params(safe)
     chunk = int(os.environ.get("LOAM_BENCH_STREAM_CHUNK", "16"))
     packed = os.environ.get("LOAM_BENCH_PACKED", "1") != "0"
+    # real datasets may need a different vertical FOV than the synthetic
+    # default (e.g. KITTI HDL-64 ~ -0.42..0.05); wrong FOV = wrong geometry
+    elev_lo = float(os.environ.get("LOAM_BENCH_ELEV_LO", "-0.30"))
+    elev_hi = float(os.environ.get("LOAM_BENCH_ELEV_HI", "0.25"))
 
     def run():
         traj, details = odometry_streaming(
             paths, lidar, feat_params, reg_params, chunk_frames=chunk,
-            packed=packed,
+            packed=packed, elev_lo=elev_lo, elev_hi=elev_hi,
         )
         return traj
 

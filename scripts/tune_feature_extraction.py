@@ -177,7 +177,7 @@ def main():
         return
 
     # ---- interactive: sliders for every extraction parameter ---------------
-    from matplotlib.widgets import Slider
+    from matplotlib.widgets import Slider, TextBox
 
     fig = plt.figure(figsize=(13, 9))
     if args.view == "3d":
@@ -189,14 +189,44 @@ def main():
     state = dict(overrides)
 
     def refresh(_=None):
-        p = FeatureExtractionParams(
-            **{k: PARAM_RANGES[k][2](v) for k, v in state.items()}
-        )
-        edge, planar = extract(scan, lidar, p)
+        # error surface parity with the reference GUI's error dialog
+        # (reference tune_feature_extraction.py:244-257): a bad parameter
+        # combination or unreadable scan shows the message in-figure
+        # instead of killing the tool
+        try:
+            p = FeatureExtractionParams(
+                **{k: PARAM_RANGES[k][2](v) for k, v in state.items()}
+            )
+            edge, planar = extract(scan, lidar, p)
+        except Exception as e:
+            ax.clear()
+            ax.set_title(f"ERROR: {type(e).__name__}: {e}", fontsize=8,
+                         color="red")
+            fig.canvas.draw_idle()
+            return
         ax.clear()
         draw(ax, scan, edge, planar,
              f"{lidar.scan_lines}x{lidar.points_per_line} scan", args.view)
         fig.canvas.draw_idle()
+
+    def load_path(text):
+        # in-GUI scan loading (parity with the reference viewer's file
+        # dialog, reference script :187-193): type a .pcd/.bin/.npy path
+        # and press enter
+        nonlocal scan, lidar
+        text = text.strip()
+        if not text:
+            return
+        try:
+            args.scan = text
+            scan, lidar = load_scan(args)
+        except Exception as e:
+            ax.clear()
+            ax.set_title(f"ERROR loading {text}: {e}", fontsize=8,
+                         color="red")
+            fig.canvas.draw_idle()
+            return
+        refresh()
 
     defaults = FeatureExtractionParams()
     for name, (lo, hi, typ) in PARAM_RANGES.items():
@@ -213,6 +243,10 @@ def main():
         s.on_changed(_cb)
         sliders[name] = s
         y -= 0.055
+
+    box_ax = fig.add_axes([0.72, y - 0.01, 0.22, 0.04])
+    file_box = TextBox(box_ax, "scan file", initial=args.scan or "")
+    file_box.on_submit(load_path)
 
     refresh()
     plt.show()
