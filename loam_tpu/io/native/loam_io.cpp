@@ -35,16 +35,25 @@ extern "C" {
 // ---------------------------------------------------------------------------
 
 // KITTI velodyne .bin: little-endian float32 records of (x, y, z, intensity).
+// Bulk-read in ~1 MB blocks: the original 16-byte-per-fread loop spent
+// ~8 ms/frame in stdio call overhead (65k calls) — the dataset-mode host
+// bottleneck once upload and compute were pipelined (round 5).
 int loam_read_kitti_bin(const char* path, float* out, int max_points) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
+  constexpr int kBlockRecs = 65536;  // 1 MiB of (x,y,z,i) records
+  std::vector<float> buf((size_t)kBlockRecs * 4);
   int n = 0;
-  float rec[4];
-  while (n < max_points && std::fread(rec, sizeof(float), 4, f) == 4) {
-    out[3 * n + 0] = rec[0];
-    out[3 * n + 1] = rec[1];
-    out[3 * n + 2] = rec[2];
-    n++;
+  while (n < max_points) {
+    int want = kBlockRecs < max_points - n ? kBlockRecs : max_points - n;
+    size_t got = std::fread(buf.data(), sizeof(float) * 4, want, f);
+    for (size_t i = 0; i < got; i++) {
+      out[3 * (n + (int)i) + 0] = buf[4 * i + 0];
+      out[3 * (n + (int)i) + 1] = buf[4 * i + 1];
+      out[3 * (n + (int)i) + 2] = buf[4 * i + 2];
+    }
+    n += (int)got;
+    if (got < (size_t)want) break;
   }
   std::fclose(f);
   return n;
@@ -138,22 +147,32 @@ int loam_read_pcd(const char* path, float* out, int max_points) {
       offsets[i] = stride;
       stride += (long)h.sizes[i] * h.counts[i];
     }
-    std::vector<unsigned char> rec(stride);
-    for (; n < n_read; n++) {
-      if (std::fread(rec.data(), 1, stride, f) != (size_t)stride) break;
-      const int idx[3] = {xi, yi, zi};
-      for (int c = 0; c < 3; c++) {
-        const unsigned char* p = rec.data() + offsets[idx[c]];
-        float v;
-        if (h.sizes[idx[c]] == 8) {
-          double d;
-          std::memcpy(&d, p, 8);
-          v = (float)d;
-        } else {
-          std::memcpy(&v, p, 4);
+    // bulk-read ~1 MiB blocks of records (per-record fread costs ~100 ns
+    // of stdio overhead each — ~7 ms/frame at Ouster-64 density)
+    long block_recs = stride > 0 ? (1L << 20) / stride : 0;
+    if (block_recs < 1) block_recs = 1;
+    std::vector<unsigned char> buf((size_t)block_recs * stride);
+    const int idx[3] = {xi, yi, zi};
+    while (n < n_read) {
+      long want = block_recs < n_read - n ? block_recs : n_read - n;
+      size_t got = std::fread(buf.data(), stride, want, f);
+      for (size_t r = 0; r < got; r++) {
+        const unsigned char* rec = buf.data() + r * stride;
+        for (int c = 0; c < 3; c++) {
+          const unsigned char* p = rec + offsets[idx[c]];
+          float v;
+          if (h.sizes[idx[c]] == 8) {
+            double d;
+            std::memcpy(&d, p, 8);
+            v = (float)d;
+          } else {
+            std::memcpy(&v, p, 4);
+          }
+          out[3 * (n + (long)r) + c] = v;
         }
-        out[3 * n + c] = v;
       }
+      n += (int)got;
+      if (got < (size_t)want) break;
     }
   } else {
     char line[8192];
