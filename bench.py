@@ -456,8 +456,22 @@ def _run_bench_dataset(frames: int, reps: int, safe: bool = False) -> float:
         )
         return traj
 
+    # Transfer canary: the dataset mode is wire-bound, and tunnel TRANSFER
+    # throughput swings ~4x between minutes even when the COMPUTE canary is
+    # steady (round-5 pack_delta_ab finding: arms 60-220 scans/s at canary
+    # 9.6 ms). Stamp an upload-bandwidth sample so artifacts are comparable.
+    import jax as _jax
+
+    from loam_tpu.profiling import force as _force
+
+    _probe = np.random.default_rng(0).integers(
+        0, 255, size=(4 << 20,), dtype=np.uint8
+    )
+    _t0 = time.perf_counter()
+    _force(_jax.device_put(_probe))
+    wire_mbs = 4.0 / (time.perf_counter() - _t0)
     cfg = (f"dataset frames={frames} reps={reps} chunk={chunk} "
-           f"packed={packed} safe={safe}")
+           f"packed={packed} safe={safe} wire_mbs={wire_mbs:.0f}")
     _STATE["stage"] = "warmup: " + cfg
     traj = run()
     _force(traj)

@@ -15,6 +15,14 @@ loam_project_packed``) quantizes each projected range-image cell to
   plane 3     ``el8``   elevation offset within the row cell, 8 bits
   ==========  ====================================================
 
+(A round-5 variant delta-encoded the range plane along each row — the
+near-zero bytes moved 2.1x faster through the tunnel's wire compressor in
+STANDALONE upload probes, with an exact MXU prefix-sum decode. Two
+interleaved e2e A/Bs (scripts/pack_delta_ab.py) measured it NEUTRAL then
+-7.3% median, with 4x arm-to-arm tunnel-throughput swings dominating
+either way; pruned per the win-or-prune rule. The A/B script and this
+note preserve the measurement.)
+
 i.e. a (4, L, P) uint8 array per frame — 3x fewer wire bytes than xyz
 f32, with quantization error BELOW LiDAR sensor noise: <=1 mm range,
 <=1.2e-5 rad azimuth and <=1.7e-5 rad elevation (<2 mm tangential at the
@@ -64,6 +72,7 @@ def decode_packed(packed, elev_lo: float = -0.30, elev_hi: float = 0.25,
     y = jnp.where(valid, rxy * jnp.sin(az), 0.0)
     z = jnp.where(valid, r * jnp.sin(elev), 0.0)
     return jnp.stack([x, y, z], axis=-1)
+
 
 
 def project_packed_numpy(points: np.ndarray, scan_lines: int,
