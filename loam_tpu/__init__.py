@@ -45,6 +45,7 @@ from .odometry import (
     ScanToMapConfig,
     ScanToMapState,
     ScanToScanState,
+    StreamingOdometry,
     odometry_offline,
     odometry_streaming,
     scan_to_map_init,
@@ -77,6 +78,7 @@ __all__ = [
     "ScanToMapConfig",
     "ScanToMapState",
     "ScanToScanState",
+    "StreamingOdometry",
     "VoxelMap",
     "knn",
     "odometry_offline",

@@ -19,6 +19,7 @@ TPU-natively (SURVEY §3.4, BASELINE configs 2-4):
 from .offline import odometry_offline
 from .streaming import (
     StreamCarry,
+    StreamingOdometry,
     odometry_streaming,
     stream_chunk_step,
     stream_init,
@@ -41,6 +42,7 @@ __all__ = [
     "ScanToMapState",
     "ScanToScanState",
     "StreamCarry",
+    "StreamingOdometry",
     "odometry_offline",
     "odometry_streaming",
     "stream_chunk_step",

@@ -134,6 +134,117 @@ def stream_chunk_step(
     return new_carry, world, det
 
 
+class StreamingOdometry:
+    """Incremental push API over the pipelined chunk backend.
+
+    The reference's usage model is a pull loop the user writes
+    (``README.md:44-60``); :func:`odometry_streaming` covers the offline
+    file-fed form of it. This class covers the LIVE form — a sensor
+    callback pushing scans one at a time — while keeping the same
+    asynchronous chunked execution underneath:
+
+        odo = StreamingOdometry(lidar, chunk_frames=8)
+        for scan in sensor:              # (L, P, 3) grids or packed planes
+            for frame_idx, pose in odo.push(scan):
+                ...                      # world poses as chunks complete
+        for frame_idx, pose in odo.finish():
+            ...
+
+    ``push`` buffers until a chunk fills, then dispatches upload + compute
+    asynchronously and returns the COMPLETED poses it can hand out without
+    blocking the device (the just-dispatched chunk's results are returned
+    by a later push/finish — one chunk of latency buys full overlap).
+    ``finish`` pads and flushes the tail. Poses are ``Pose3`` scalars with
+    their global frame index.
+    """
+
+    def __init__(
+        self,
+        lidar: LidarParams,
+        feat_params: FeatureExtractionParams = FeatureExtractionParams(),
+        reg_params: RegistrationParams = RegistrationParams(),
+        chunk_frames: int = 8,
+        packed: bool = True,
+        motion_init: bool = True,
+        elev_lo: float = -0.30,
+        elev_hi: float = 0.25,
+    ):
+        from ..io.packed import PACKED_R_MAX
+
+        self._lidar = lidar
+        self._feat = feat_params
+        self._reg = reg_params
+        self._K = int(chunk_frames)
+        self._packed = packed
+        self._motion = motion_init
+        self._cfg = (elev_lo, elev_hi, PACKED_R_MAX) if packed else None
+        self._carry = stream_init(lidar, feat_params)
+        self._buf: list = []
+        self._pending: list = []  # [(start_frame, n_real, world, det)]
+        self._n = 0
+        self._done = False
+
+    def _prep(self, frame: np.ndarray) -> np.ndarray:
+        from ..io.packed import encode_packed_grid
+
+        frame = np.asarray(frame)
+        if not self._packed:
+            return frame.astype(np.float32, copy=False)
+        if frame.dtype == np.uint8:
+            return frame
+        return encode_packed_grid(frame, self._cfg[0], self._cfg[1],
+                                  self._cfg[2])
+
+    def _dispatch(self, n_real: int):
+        dev = jax.device_put(np.stack(self._buf))
+        self._carry, world, det = stream_chunk_step(
+            self._carry, dev, self._lidar, self._feat, self._reg,
+            self._cfg, self._motion,
+        )
+        self._pending.append((self._n - n_real, n_real, world, det))
+        self._buf.clear()
+
+    def _drain(self, block: bool) -> list:
+        out = []
+        # hand out every chunk except the newest (still in flight) unless
+        # blocking; reading results forces completion
+        keep = 0 if block else 1
+        while len(self._pending) > keep:
+            start, n_real, world, det = self._pending.pop(0)
+            t = np.asarray(world.translation)[:n_real]
+            q = np.asarray(world.rotation)[:n_real]
+            for j in range(n_real):
+                out.append(
+                    (start + j, Pose3(jnp.asarray(q[j]), jnp.asarray(t[j])))
+                )
+        return out
+
+    def push(self, scan: np.ndarray) -> list:
+        """Feed one scan; returns [(frame_index, world_T_frame), ...] for
+        any frames whose chunks have completed (possibly empty)."""
+        if self._done:
+            raise RuntimeError("push() after finish()")
+        self._buf.append(self._prep(scan))
+        self._n += 1
+        if len(self._buf) == self._K:
+            self._dispatch(self._K)
+        return self._drain(block=False)
+
+    def finish(self) -> list:
+        """Flush the buffered tail (padding the last chunk) and return the
+        remaining poses. The instance cannot be pushed to afterwards."""
+        self._done = True
+        if self._buf:
+            n_real = len(self._buf)
+            self._buf.extend([self._buf[-1]] * (self._K - n_real))
+            self._dispatch(n_real)
+        return self._drain(block=True)
+
+    @property
+    def frames_pushed(self) -> int:
+        return self._n
+
+
 def odometry_streaming(
     source: Union[Sequence[str], np.ndarray, Iterable[np.ndarray]],
     lidar: LidarParams,

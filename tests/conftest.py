@@ -114,6 +114,7 @@ _SLOW = {
     "test_odometry.py::test_scan_to_map_prep_cache_path_matches_uncached",
     "test_knn_pallas.py::test_warm_start_registration_matches_unseeded",
     "test_features.py::test_extract_features_batch_map_equals_vmap",
+    "test_streaming.py::test_streaming_push_api_matches_batch",
 }
 
 

@@ -386,3 +386,26 @@ def test_packed_codec_custom_fov():
     # parameter exists to prevent
     wrong = np.asarray(decode_packed(pk))
     assert np.linalg.norm(wrong - scan, axis=-1).max() > 0.5
+
+
+def test_streaming_push_api_matches_batch(traj_data):
+    """StreamingOdometry (live push API) must produce the same poses as
+    odometry_streaming over the same frames, with frames handed out in
+    order and exactly once."""
+    from loam_tpu.odometry import StreamingOdometry
+
+    scans, _ = traj_data
+    ref, _ = odometry_streaming(scans, LIDAR, chunk_frames=4, packed=True)
+    odo = StreamingOdometry(LIDAR, chunk_frames=4, packed=True)
+    got = []
+    for s in scans:
+        got.extend(odo.push(s))
+    got.extend(odo.finish())
+    assert odo.frames_pushed == N_FRAMES
+    assert [i for i, _ in got] == list(range(N_FRAMES))
+    est = np.stack([np.asarray(p.translation) for _, p in got])
+    np.testing.assert_allclose(
+        est, np.asarray(ref.translation), atol=1e-6
+    )
+    with pytest.raises(RuntimeError):
+        odo.push(scans[0])
