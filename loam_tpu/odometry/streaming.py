@@ -71,7 +71,7 @@ def stream_init(
 @functools.partial(
     jax.jit,
     static_argnames=("lidar", "feat_params", "reg_params", "packed_cfg",
-                     "motion_init"),
+                     "motion_init", "dewarp"),
 )
 def stream_chunk_step(
     carry: StreamCarry,
@@ -81,6 +81,7 @@ def stream_chunk_step(
     reg_params: RegistrationParams = RegistrationParams(),
     packed_cfg: Optional[Tuple[float, float, float]] = None,
     motion_init: bool = True,
+    dewarp: bool = False,
 ) -> Tuple[StreamCarry, Pose3, RegistrationDetail]:
     """Process K frames: extract, register each against its predecessor.
 
@@ -103,6 +104,15 @@ def stream_chunk_step(
     else:
         scans = chunk
     K = scans.shape[0]
+    if dewarp:
+        # constant-velocity motion compensation with the carried previous
+        # relative pose — the same prior scan_to_scan_step(dewarp=True)
+        # uses, applied to every frame of the chunk in lockstep
+        from ..dewarp import dewarp_scan
+
+        scans = jax.vmap(
+            lambda sc: dewarp_scan(sc, carry.prev_delta, lidar)
+        )(scans)
     feats = extract_features_batch(
         scans, lidar, feat_params, post=azimuth_sort_features
     )
@@ -168,6 +178,7 @@ class StreamingOdometry:
         motion_init: bool = True,
         elev_lo: float = -0.30,
         elev_hi: float = 0.25,
+        dewarp: bool = False,
     ):
         from ..io.packed import PACKED_R_MAX
 
@@ -178,6 +189,7 @@ class StreamingOdometry:
         self._packed = packed
         self._motion = motion_init
         self._cfg = (elev_lo, elev_hi, PACKED_R_MAX) if packed else None
+        self._dewarp = dewarp
         self._carry = stream_init(lidar, feat_params)
         self._buf: list = []
         self._pending: list = []  # [(start_frame, n_real, world, det)]
@@ -199,7 +211,7 @@ class StreamingOdometry:
         dev = jax.device_put(np.stack(self._buf))
         self._carry, world, det = stream_chunk_step(
             self._carry, dev, self._lidar, self._feat, self._reg,
-            self._cfg, self._motion,
+            self._cfg, self._motion, self._dewarp,
         )
         self._pending.append((self._n - n_real, n_real, world, det))
         self._buf.clear()
@@ -257,6 +269,7 @@ def odometry_streaming(
     queue_cap: int = 32,
     elev_lo: float = -0.30,
     elev_hi: float = 0.25,
+    dewarp: bool = False,
 ) -> Tuple[Pose3, RegistrationDetail]:
     """File-fed odometry with IO, upload and compute pipelined.
 
@@ -325,7 +338,7 @@ def odometry_streaming(
         dev = jax.device_put(np.stack(buf))  # async upload
         carry, world, det = stream_chunk_step(
             carry, dev, lidar, feat_params, reg_params, packed_cfg,
-            motion_init,
+            motion_init, dewarp,
         )  # async dispatch; no barrier
         worlds.append(world)
         dets.append(det)

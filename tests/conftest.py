@@ -115,6 +115,7 @@ _SLOW = {
     "test_knn_pallas.py::test_warm_start_registration_matches_unseeded",
     "test_features.py::test_extract_features_batch_map_equals_vmap",
     "test_streaming.py::test_streaming_push_api_matches_batch",
+    "test_streaming.py::test_streaming_dewarp_runs",
 }
 
 

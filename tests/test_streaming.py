@@ -409,3 +409,23 @@ def test_streaming_push_api_matches_batch(traj_data):
     )
     with pytest.raises(RuntimeError):
         odo.push(scans[0])
+
+
+def test_streaming_dewarp_runs(traj_data):
+    """dewarp=True motion-compensates each chunk with the carried
+    constant-velocity delta (scan_to_scan_step parity at the driver
+    level): must run end-to-end and stay close to the non-dewarped
+    trajectory on these quasi-static synthetic frames (each frame is
+    rendered static, so dewarping with the ~8 cm inter-frame delta only
+    perturbs mildly)."""
+    scans, gt = traj_data
+    traj_d, _ = odometry_streaming(
+        scans, LIDAR, chunk_frames=4, packed=False, dewarp=True
+    )
+    traj_p, _ = odometry_streaming(
+        scans, LIDAR, chunk_frames=4, packed=False
+    )
+    est_d = np.asarray(traj_d.translation)
+    assert np.isfinite(est_d).all()
+    d = np.abs(est_d - np.asarray(traj_p.translation)).max()
+    assert d < 0.2, d
