@@ -462,8 +462,6 @@ def _run_bench_dataset(frames: int, reps: int, safe: bool = False) -> float:
     # 9.6 ms). Stamp an upload-bandwidth sample so artifacts are comparable.
     import jax as _jax
 
-    from loam_tpu.profiling import force as _force
-
     _probe = np.random.default_rng(0).integers(
         0, 255, size=(4 << 20,), dtype=np.uint8
     )

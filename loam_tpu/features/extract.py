@@ -138,6 +138,22 @@ def _nms_impl(mode: str) -> str:
     return mode
 
 
+def _resolve_sector_sort(mode: str, dtype) -> str:
+    """Resolve the sector-sort impl knob: auto = the bitonic network on a
+    real TPU backend with f32 keys, the stable ``lax.sort`` elsewhere.
+    Shared by :func:`_sector_sort` and the batch fence so they can't
+    drift."""
+    if mode != "auto":
+        return mode
+    from ..ops.knn_pallas import pallas_supported
+
+    return (
+        "bitonic"
+        if (pallas_supported() and dtype == jnp.float32)
+        else "xla"
+    )
+
+
 def _sector_sort(c_all, cl_all, pos_b, mode: str):
     """Sort every (line, sector) slice ascending by curvature.
 
@@ -162,14 +178,7 @@ def _sector_sort(c_all, cl_all, pos_b, mode: str):
     with NaN points are outside both implementations' (and the
     reference's) contract — see ``loam_tpu.debug.check_finite``.
     """
-    if mode == "auto":
-        from ..ops.knn_pallas import pallas_supported
-
-        mode = (
-            "bitonic"
-            if (pallas_supported() and c_all.dtype == jnp.float32)
-            else "xla"
-        )
+    mode = _resolve_sector_sort(mode, c_all.dtype)
     L, S, m = c_all.shape
     if mode == "bitonic":
         from ..ops.bitonic import bitonic_sort
@@ -239,27 +248,22 @@ def _fallback_stage_engaged(
     conservatively treated as fallback territory too (only the coverage
     knob hits it; ``lax.map`` is merely slower there, never wrong).
     """
-    import os as _os
-
+    from ..ops import assemble_pallas as _ap
     from ..ops.knn_pallas import pallas_supported
 
     if not pallas_supported():
         return False  # CPU forms are oracle-exact under vmap
-    if _os.environ.get("LOAM_PALLAS_INTERPRET", "0") == "1":
+    if _ap._INTERPRET:
+        # interpret mode swaps every kernel for its staged-XLA form (the
+        # flag is frozen at import from LOAM_PALLAS_INTERPRET, like each
+        # kernel module's own): conservatively fallback territory
         return True
-    f32 = dtype == jnp.float32
-    sort = params.sector_sort
-    if sort == "auto":  # mirrors _sector_sort
-        sort = "bitonic" if f32 else "xla"
-    assemble = params.feature_assemble
-    if assemble == "auto":  # mirrors ops.assemble_pallas.select_points
-        assemble = "pallas" if f32 else "gather"
-    nms = _nms_impl(params.greedy_nms)
     return (
-        sort == "xla"
-        or assemble == "gather"
-        or nms == "xla"
-        or (not f32)  # any non-f32 kernel request falls back internally
+        _resolve_sector_sort(params.sector_sort, dtype) == "xla"
+        or _ap.resolved_assemble_impl(params.feature_assemble, dtype)
+        == "gather"
+        or _nms_impl(params.greedy_nms) == "xla"
+        or dtype != jnp.float32  # non-f32 kernel requests fall back inside
     )
 
 

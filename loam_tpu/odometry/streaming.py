@@ -144,6 +144,20 @@ def stream_chunk_step(
     return new_carry, world, det
 
 
+def _prep_frame(frame: np.ndarray, packed: bool, cfg) -> np.ndarray:
+    """Normalize one source frame for upload: raw f32 grid, or the packed
+    wire format (pass-through for already-packed u8, host-encode for
+    grids). Shared by the offline driver and the push API."""
+    frame = np.asarray(frame)
+    if not packed:
+        return frame.astype(np.float32, copy=False)
+    if frame.dtype == np.uint8:
+        return frame
+    from ..io.packed import encode_packed_grid
+
+    return encode_packed_grid(frame, cfg[0], cfg[1], cfg[2])
+
+
 class StreamingOdometry:
     """Incremental push API over the pipelined chunk backend.
 
@@ -196,17 +210,6 @@ class StreamingOdometry:
         self._n = 0
         self._done = False
 
-    def _prep(self, frame: np.ndarray) -> np.ndarray:
-        from ..io.packed import encode_packed_grid
-
-        frame = np.asarray(frame)
-        if not self._packed:
-            return frame.astype(np.float32, copy=False)
-        if frame.dtype == np.uint8:
-            return frame
-        return encode_packed_grid(frame, self._cfg[0], self._cfg[1],
-                                  self._cfg[2])
-
     def _dispatch(self, n_real: int):
         dev = jax.device_put(np.stack(self._buf))
         self._carry, world, det = stream_chunk_step(
@@ -223,12 +226,13 @@ class StreamingOdometry:
         keep = 0 if block else 1
         while len(self._pending) > keep:
             start, n_real, world, det = self._pending.pop(0)
+            # np.asarray is the completion barrier; hand the poses out as
+            # host arrays (re-wrapping in jnp would re-upload each one)
             t = np.asarray(world.translation)[:n_real]
             q = np.asarray(world.rotation)[:n_real]
-            for j in range(n_real):
-                out.append(
-                    (start + j, Pose3(jnp.asarray(q[j]), jnp.asarray(t[j])))
-                )
+            out.extend(
+                (start + j, Pose3(q[j], t[j])) for j in range(n_real)
+            )
         return out
 
     def push(self, scan: np.ndarray) -> list:
@@ -236,7 +240,7 @@ class StreamingOdometry:
         any frames whose chunks have completed (possibly empty)."""
         if self._done:
             raise RuntimeError("push() after finish()")
-        self._buf.append(self._prep(scan))
+        self._buf.append(_prep_frame(scan, self._packed, self._cfg))
         self._n += 1
         if len(self._buf) == self._K:
             self._dispatch(self._K)
@@ -298,7 +302,7 @@ def odometry_streaming(
       ``odometry_offline``.
     """
     from ..io.native import ScanLoader
-    from ..io.packed import PACKED_R_MAX, encode_packed_grid
+    from ..io.packed import PACKED_R_MAX
 
     packed_cfg = (elev_lo, elev_hi, PACKED_R_MAX) if packed else None
     K = int(chunk_frames)
@@ -319,14 +323,6 @@ def odometry_streaming(
     else:
         frames_iter = iter(source)
 
-    def prep(frame: np.ndarray) -> np.ndarray:
-        if not packed:
-            return np.asarray(frame, np.float32)
-        frame = np.asarray(frame)
-        if frame.dtype == np.uint8:  # already packed (loader or caller)
-            return frame
-        return encode_packed_grid(frame, elev_lo, elev_hi, PACKED_R_MAX)
-
     carry = stream_init(lidar, feat_params)
     worlds, dets = [], []
     buf: list = []
@@ -346,7 +342,7 @@ def odometry_streaming(
 
     try:
         for frame in frames_iter:
-            buf.append(prep(frame))
+            buf.append(_prep_frame(frame, packed, packed_cfg))
             n_frames += 1
             if len(buf) == K:
                 flush()

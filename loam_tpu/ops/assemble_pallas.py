@@ -54,6 +54,23 @@ def _select_kernel(x_ref, y_ref, z_ref, picks_ref, ox_ref, oy_ref, oz_ref,
             dst[l:l + 1, :] = jnp.sum(sel, axis=0, keepdims=True)
 
 
+def resolved_assemble_impl(impl: str, dtype) -> str:
+    """Resolve the feature-assemble impl knob: auto = the Pallas kernel on
+    a real TPU backend with f32 data (the kernel is f32-only; interpret
+    mode counts as the staged-XLA fallback), gather elsewhere. Shared by
+    :func:`select_points` and the extraction batch fence
+    (``features/extract.py``) so the two can never drift."""
+    if impl != "auto":
+        return impl
+    from .knn_pallas import pallas_supported
+
+    return (
+        "pallas"
+        if (pallas_supported() and not _INTERPRET and dtype == jnp.float32)
+        else "gather"
+    )
+
+
 def select_points(pts: jax.Array, picks: jax.Array, impl: str = "auto"):
     """Per-line coordinate selection: out[l, c] = pts[l, picks[l, c]].
 
@@ -67,18 +84,7 @@ def select_points(pts: jax.Array, picks: jax.Array, impl: str = "auto"):
     """
     L, P, _ = pts.shape
     C = picks.shape[1]
-    if impl == "auto":
-        from .knn_pallas import pallas_supported
-
-        impl = (
-            "pallas"
-            if (
-                pallas_supported()
-                and not _INTERPRET
-                and pts.dtype == jnp.float32  # kernel is f32-only
-            )
-            else "gather"
-        )
+    impl = resolved_assemble_impl(impl, pts.dtype)
     if impl == "gather":
         sel = jnp.take_along_axis(
             pts, jnp.maximum(picks, 0)[..., None], axis=1

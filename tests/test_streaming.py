@@ -281,11 +281,13 @@ def test_fallback_fence_resolution(monkeypatch):
     import importlib
 
     kp = importlib.import_module("loam_tpu.ops.knn_pallas")
+    ap = importlib.import_module("loam_tpu.ops.assemble_pallas")
     monkeypatch.setattr(kp, "pallas_supported", lambda: True)
-    # conftest sets the interpret coverage knob; the fence treats
-    # interpret-on-TPU as fallback territory, so clear it for the
-    # resolution assertions and check it separately below
-    monkeypatch.setenv("LOAM_PALLAS_INTERPRET", "0")
+    # conftest froze the interpret coverage flag on at import; the fence
+    # treats interpret-on-TPU as fallback territory, so simulate a real
+    # (non-interpret) TPU for the resolution assertions and check the
+    # interpret rule separately below
+    monkeypatch.setattr(ap, "_INTERPRET", False)
     f32 = jnp.float32
     assert not ex._fallback_stage_engaged(FeatureExtractionParams(), f32)
     for kw in (
@@ -298,9 +300,9 @@ def test_fallback_fence_resolution(monkeypatch):
     assert ex._fallback_stage_engaged(FeatureExtractionParams(), jnp.float64)
     # interpret mode on a TPU backend swaps kernels for staged-XLA forms:
     # conservatively fenced
-    monkeypatch.setenv("LOAM_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(ap, "_INTERPRET", True)
     assert ex._fallback_stage_engaged(FeatureExtractionParams(), f32)
-    monkeypatch.setenv("LOAM_PALLAS_INTERPRET", "0")
+    monkeypatch.setattr(ap, "_INTERPRET", False)
     # off-TPU: no fence
     monkeypatch.setattr(kp, "pallas_supported", lambda: False)
     assert not ex._fallback_stage_engaged(
@@ -317,9 +319,10 @@ def test_fallback_fence_forces_map(monkeypatch, traj_data):
     from loam_tpu.features import extract as ex
 
     kp = importlib.import_module("loam_tpu.ops.knn_pallas")
+    ap = importlib.import_module("loam_tpu.ops.assemble_pallas")
     scans, _ = traj_data
     monkeypatch.setattr(kp, "pallas_supported", lambda: True)
-    monkeypatch.setenv("LOAM_PALLAS_INTERPRET", "0")
+    monkeypatch.setattr(ap, "_INTERPRET", False)
     monkeypatch.delenv("LOAM_EXTRACT_BATCH", raising=False)
     # all-fallback stages: engages the fence AND keeps the per-frame
     # program pure-XLA (no interpret-mode bitonic compile) so this stays
