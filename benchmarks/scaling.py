@@ -9,9 +9,12 @@ multi-chip numbers come from the virtual CPU mesh (functional validation of
 the sharded path + collective overhead accounting); run on a real v5e pod
 slice for ICI-backed numbers:
 
-    python benchmarks/scaling.py            # current backend, all devices
-    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python benchmarks/scaling.py
+    python benchmarks/scaling.py             # current backend, all devices
+    python benchmarks/scaling.py --cpu-mesh 8   # virtual 8-device CPU mesh
+
+(--cpu-mesh configures jax BEFORE backend init; plain JAX_PLATFORMS env
+vars do not work on this image — a sitecustomize hook registers the
+remote-TPU backend first and pins jax_platforms.)
 """
 
 import json
@@ -20,6 +23,16 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--cpu-mesh" in sys.argv:
+    _n = sys.argv[sys.argv.index("--cpu-mesh") + 1]
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={_n}"
+    ).strip()
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -84,18 +97,21 @@ def main():
         return
     tpn = run(n, scans, lidar, feat_params, reg_params)
     eff = tpn / (n * tp1)
-    print(
-        json.dumps(
-            {
-                "metric": "scaling_efficiency",
-                "devices": n,
-                "throughput_1dev": round(tp1, 2),
-                f"throughput_{n}dev": round(tpn, 2),
-                "value": round(eff, 3),
-                "unit": "fraction of linear scaling",
-            }
-        )
-    )
+    virtual = jax.devices()[0].platform == "cpu"
+    out = {
+        "metric": "scaling_efficiency",
+        "devices": n,
+        "throughput_1dev": round(tp1, 2),
+        f"throughput_{n}dev": round(tpn, 2),
+        "value": round(eff, 3),
+        "unit": "fraction of linear scaling",
+    }
+    if virtual:
+        # N virtual devices oversubscribe one host CPU — this validates
+        # the sharded path functionally, it does NOT measure ICI scaling
+        out["virtual_cpu_mesh"] = True
+        out["unit"] += " (virtual CPU mesh: functional validation only)"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
