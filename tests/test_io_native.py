@@ -129,3 +129,33 @@ def test_write_pcd_fallback_matches(tmp_path, cloud):
         native._lib = lib
         native._build_failed = False
     assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+@pytest.mark.parametrize("content", [
+    b"",                                        # empty file
+    b"not a pcd at all\n",                      # garbage, no header
+    b"FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n",  # truncated header, no DATA
+    (b"VERSION .7\nFIELDS a b\nSIZE 4 4\nTYPE F F\nCOUNT 1 1\nWIDTH 2\n"
+     b"HEIGHT 1\nPOINTS 2\nDATA binary\n" + b"\x00" * 16),  # no x/y/z
+])
+def test_read_pcd_malformed_inputs_raise(tmp_path, content):
+    """Malformed PCD inputs must raise IOError from the native reader (and
+    its NumPy fallback), never crash or return garbage points."""
+    p = tmp_path / "bad.pcd"
+    p.write_bytes(content)
+    with pytest.raises(Exception) as ei:
+        native.read_pcd(str(p))
+    assert isinstance(ei.value, (IOError, ValueError))
+
+
+def test_read_pcd_truncated_binary_body(tmp_path):
+    """A binary PCD whose body is shorter than POINTS declares returns only
+    the records actually present."""
+    hdr = (b"VERSION .7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+           b"COUNT 1 1 1\nWIDTH 10\nHEIGHT 1\nPOINTS 10\nDATA binary\n")
+    body = np.arange(9, dtype=np.float32).tobytes()  # 3 full records
+    p = tmp_path / "trunc.pcd"
+    p.write_bytes(hdr + body)
+    pts = native.read_pcd(str(p))
+    assert pts.shape == (3, 3)
+    np.testing.assert_array_equal(pts.ravel(), np.arange(9, dtype=np.float32))

@@ -432,3 +432,38 @@ def test_streaming_dewarp_runs(traj_data):
     assert np.isfinite(est_d).all()
     d = np.abs(est_d - np.asarray(traj_p.translation)).max()
     assert d < 0.2, d
+
+
+def test_packed_codec_fuzz_roundtrip():
+    """Property fuzz: random in-range clouds projected+packed by the NumPy
+    mirror decode to within codec bounds of their sources, across random
+    geometries and FOVs."""
+    rng = np.random.default_rng(123)
+    for _ in range(6):
+        L = int(rng.integers(4, 24))
+        P = int(rng.choice([64, 128, 256]))
+        lo = float(rng.uniform(-0.5, -0.1))
+        hi = float(rng.uniform(0.05, 0.4))
+        n = int(rng.integers(200, 2000))
+        az = rng.uniform(0, 2 * np.pi, n)
+        el = rng.uniform(lo + 1e-3, hi - 1e-3, n)
+        r = rng.uniform(1.0, 100.0, n)
+        cloud = np.stack(
+            [r * np.cos(el) * np.cos(az), r * np.cos(el) * np.sin(az),
+             r * np.sin(el)], axis=-1
+        ).astype(np.float32)
+        pk = project_packed_numpy(cloud, L, P, lo, hi)
+        dec = np.asarray(decode_packed(pk, lo, hi))
+        dr = np.linalg.norm(dec, axis=-1)
+        valid = dr > 1e-6
+        pts = dec[valid]
+        if not len(pts):
+            continue
+        # nearest-source distance (cells keep the nearest return; others
+        # are dropped, so compare point-to-cloud, not cell-to-cell)
+        d2 = ((pts[:, None, :] - cloud[None, :, :]) ** 2).sum(-1)
+        nn = np.sqrt(d2.min(axis=1))
+        # bound: range quantum + az/elev cell-offset quanta at max range
+        cell_h = (hi - lo) / (L - 1)
+        bound = 1e-3 + 100.0 * (2 * np.pi / P / 256 + cell_h / 256) + 5e-3
+        assert nn.max() < bound, (L, P, lo, hi, nn.max(), bound)
